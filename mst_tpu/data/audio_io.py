@@ -1,0 +1,141 @@
+"""Minimal audio IO without torchaudio/librosa/soundfile.
+
+The environment ships none of the reference's audio IO stacks, so WAV
+parsing is implemented directly over the RIFF container (PCM 16/24/32-bit
+and float32/64) with numpy.  MP3/FLAC decode falls back to an ``ffmpeg``
+subprocess when available (the reference shells out to ffmpeg for encoding
+too; ref: scripts/preprocess_fma_separation_fast.py:241-248).
+
+Layout convention: audio arrays are ``(channels, T)`` float32 in [-1, 1],
+matching the reference's ``load_audio`` (ref: src/data.py:169-199).
+"""
+
+from __future__ import annotations
+
+import shutil
+import struct
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+
+def read_wav(path: str | Path) -> tuple[np.ndarray, int]:
+    """Read a RIFF/WAVE file -> (audio (C, T) float32, sample_rate)."""
+    data = Path(path).read_bytes()
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError(f"{path}: not a RIFF/WAVE file")
+    pos = 12
+    fmt = None
+    raw = None
+    while pos + 8 <= len(data):
+        chunk_id = data[pos : pos + 4]
+        size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+        body = data[pos + 8 : pos + 8 + size]
+        if chunk_id == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif chunk_id == b"data":
+            raw = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or raw is None:
+        raise ValueError(f"{path}: missing fmt/data chunk")
+    audio_format, n_ch, sr, _, _, bits = fmt
+    if audio_format == 0xFFFE and len(raw) >= 0:  # WAVE_FORMAT_EXTENSIBLE
+        audio_format = 1 if bits in (16, 24, 32) else 3
+    if audio_format == 1:  # PCM
+        if bits == 16:
+            x = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
+        elif bits == 32:
+            x = np.frombuffer(raw, "<i4").astype(np.float32) / 2147483648.0
+        elif bits == 24:
+            b = np.frombuffer(raw, np.uint8).reshape(-1, 3)
+            x = (
+                b[:, 0].astype(np.int32)
+                | (b[:, 1].astype(np.int32) << 8)
+                | (b[:, 2].astype(np.int8).astype(np.int32) << 16)
+            ).astype(np.float32) / 8388608.0
+        elif bits == 8:
+            x = (np.frombuffer(raw, np.uint8).astype(np.float32) - 128.0) / 128.0
+        else:
+            raise ValueError(f"unsupported PCM bit depth {bits}")
+    elif audio_format == 3:  # IEEE float
+        x = np.frombuffer(raw, "<f4" if bits == 32 else "<f8").astype(np.float32)
+    else:
+        raise ValueError(f"unsupported WAVE format {audio_format}")
+    x = x.reshape(-1, n_ch).T.copy()  # (C, T)
+    return x, sr
+
+
+def write_wav(path: str | Path, audio: np.ndarray, sample_rate: int) -> None:
+    """Write (C, T) float32 audio as 16-bit PCM WAV."""
+    audio = np.asarray(audio, np.float32)
+    if audio.ndim == 1:
+        audio = audio[None]
+    n_ch, n = audio.shape
+    pcm = np.clip(audio.T * 32767.0, -32768, 32767).astype("<i2").tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+    hdr += b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, n_ch, sample_rate, sample_rate * n_ch * 2, n_ch * 2, 16
+    )
+    hdr += b"data" + struct.pack("<I", len(pcm))
+    Path(path).write_bytes(hdr + pcm)
+
+
+def read_audio(path: str | Path, target_sr: int | None = None) -> tuple[np.ndarray, int]:
+    """Read any audio file; WAV natively, everything else through ffmpeg."""
+    path = Path(path)
+    if path.suffix.lower() == ".wav":
+        audio, sr = read_wav(path)
+    else:
+        audio, sr = _read_via_ffmpeg(path)
+    if target_sr is not None and sr != target_sr:
+        audio = resample(audio, sr, target_sr)
+        sr = target_sr
+    return audio, sr
+
+
+def _read_via_ffmpeg(path: Path) -> tuple[np.ndarray, int]:
+    if shutil.which("ffmpeg") is None:
+        raise RuntimeError(
+            f"cannot decode {path.suffix} without ffmpeg; provide WAV input"
+        )
+    probe = subprocess.run(
+        ["ffprobe", "-v", "error", "-show_entries", "stream=sample_rate,channels",
+         "-of", "csv=p=0", str(path)],
+        capture_output=True, text=True, check=True,
+    )
+    sr, n_ch = (int(v) for v in probe.stdout.strip().split("\n")[0].split(","))
+    out = subprocess.run(
+        ["ffmpeg", "-v", "error", "-i", str(path), "-f", "f32le", "-"],
+        capture_output=True, check=True,
+    )
+    x = np.frombuffer(out.stdout, "<f4").reshape(-1, n_ch).T.copy()
+    return x, sr
+
+
+def write_mp3(path: str | Path, audio: np.ndarray, sample_rate: int,
+              bitrate: str = "192k") -> None:
+    """Encode (C, T) float32 audio to MP3 via ffmpeg (libmp3lame), matching the
+    reference's stem-encoding step (ref: preprocess_fma_separation_fast.py:241-248)."""
+    if shutil.which("ffmpeg") is None:
+        raise RuntimeError("ffmpeg not available for MP3 encoding")
+    audio = np.asarray(audio, np.float32)
+    if audio.ndim == 1:
+        audio = audio[None]
+    n_ch = audio.shape[0]
+    subprocess.run(
+        ["ffmpeg", "-v", "error", "-y", "-f", "f32le", "-ar", str(sample_rate),
+         "-ac", str(n_ch), "-i", "-", "-b:a", bitrate, str(path)],
+        input=audio.T.tobytes(), check=True,
+    )
+
+
+def resample(audio: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
+    """Polyphase windowed-sinc resampling (scipy), (C, T) -> (C, T')."""
+    if sr_in == sr_out:
+        return audio
+    from scipy.signal import resample_poly
+    from math import gcd
+
+    g = gcd(sr_in, sr_out)
+    return resample_poly(audio, sr_out // g, sr_in // g, axis=-1).astype(np.float32)
