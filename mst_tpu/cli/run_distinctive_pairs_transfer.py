@@ -1,0 +1,85 @@
+"""Per-pair optimization over selected distinctive pairs
+(ref: inference/run_distinctive_pairs_transfer.py).
+
+Consumes distinctive_pairs.json from select_distinctive_pairs and runs the
+per-pair TCN optimization on each, saving transferred audio + results.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+import numpy as np
+
+
+def get_params(argv=None):
+    from mst_tpu.cli._common import add_audio_args, add_model_args
+
+    p = argparse.ArgumentParser(description="Distinctive-pair transfer (TPU)")
+    p.add_argument("--pairs_json", type=str, required=True)
+    add_audio_args(p)
+    add_model_args(p)
+    p.add_argument("--checkpoint", type=str, default=None)
+    p.add_argument("--num_steps", type=int, default=200)
+    p.add_argument("--learning_rate", type=float, default=1e-3)
+    p.add_argument("--output_dir", type=str, default="distinctive_transfer/")
+    p.add_argument("--seed", type=int, default=42)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = get_params(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from mst_tpu.checkpoints import restore_checkpoint
+    from mst_tpu.cli._common import encoder_config_from_args, feature_config_from_args
+    from mst_tpu.config import Stage1Config, TCNConfig
+    from mst_tpu.data import load_stems, write_wav
+    from mst_tpu.eval.per_pair import optimize_pair
+    from mst_tpu.models import MixingStyleEncoder
+    from mst_tpu.train import create_stage1_state
+
+    enc_cfg = encoder_config_from_args(args)
+    fcfg = feature_config_from_args(args)
+    enc = MixingStyleEncoder(enc_cfg)
+    s1state, _, _ = create_stage1_state(
+        Stage1Config(encoder=enc_cfg, features=fcfg), jax.random.key(args.seed), 1
+    )
+    if args.checkpoint:
+        s1state = restore_checkpoint(args.checkpoint, None, s1state)
+    enc_vars = {"params": s1state.params, "batch_stats": s1state.batch_stats}
+    enc_apply = lambda stems, feats: enc.apply(enc_vars, stems, feats, train=False)
+
+    pairs = json.loads(Path(args.pairs_json).read_text())["pairs"]
+    out = Path(args.output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    n = int(args.clip_duration * args.sample_rate)
+    results = []
+    for i, pair in enumerate(pairs):
+        inp = load_stems(pair["track_a"], args.sample_rate)[..., :n]
+        tgt = load_stems(pair["track_b"], args.sample_rate)[..., :n]
+        out_stems, res = optimize_pair(
+            enc_apply, fcfg, jnp.asarray(inp), jnp.asarray(tgt),
+            TCNConfig(hidden_channels=16, num_blocks=8, kernel_size=5,
+                      use_film=False),
+            args.num_steps, args.learning_rate,
+            rng=jax.random.key(args.seed + i),
+        )
+        res.pop("losses")
+        res.update({"pair": i, "similarity": pair["similarity"]})
+        results.append(res)
+        write_wav(out / f"pair{i}_transferred.wav",
+                  np.asarray(out_stems).sum(0), args.sample_rate)
+        print(f"pair {i}: improvement {res['improvement']:.1%}")
+
+    (out / "results.json").write_text(json.dumps(results, indent=2))
+    print(json.dumps({"pairs": len(results),
+                      "mean_improvement": float(np.mean([r["improvement"] for r in results])) if results else None}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,243 @@
+"""Stage-1 contrastive training CLI (ref: src/train.py + src/params.py).
+
+    python -m mst_tpu.cli.train --separated_path /data/fma_separated \
+        --batch_size 100 --n_fft 2048 --hop_length 512 --n_mels 80 \
+        --band_split_size 16 --band_overlap 8 --encoder_dim 512
+
+Flag names mirror the reference's params.py.  Differences: training runs as
+one jitted data-parallel step over all local devices (batch sharded on the
+'data' mesh axis), mixing features + optional augmentations are computed on
+device, checkpoints are orbax (torch .pt importable via --resume_torch).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+import numpy as np
+
+
+def get_params(argv=None):
+    from mst_tpu.cli._common import add_audio_args, add_model_args
+
+    p = argparse.ArgumentParser(
+        description="Mixing Style Representation Learning - Stage 1 (TPU)"
+    )
+    p.add_argument("--separated_path", type=str, default=None,
+                   help="pre-separated stems root; omit with --synthetic")
+    p.add_argument("--synthetic", action="store_true",
+                   help="generate a synthetic corpus (smoke runs)")
+    p.add_argument("--num_workers", type=int, default=4)
+    add_audio_args(p)
+    add_model_args(p)
+    p.add_argument("--batch_size", type=int, default=24)
+    p.add_argument("--num_epochs", type=int, default=100)
+    p.add_argument("--learning_rate", type=float, default=2e-4)
+    p.add_argument("--weight_decay", type=float, default=0.01)
+    p.add_argument("--temperature", type=float, default=0.1)
+    p.add_argument("--num_segments", type=int, default=2)
+    p.add_argument("--log_interval", type=int, default=10)
+    p.add_argument("--save_interval", type=int, default=5)
+    p.add_argument("--checkpoint_dir", type=str, default="checkpoints/")
+    p.add_argument("--log_dir", type=str, default="logs/")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--use_augmentation", action="store_true",
+                   help="on-device negative-pair degradations")
+    p.add_argument("--use_adversarial", action="store_true")
+    p.add_argument("--adversarial_lambda", type=float, default=1.0)
+    p.add_argument("--initial_adversarial_lambda", type=float, default=0.0)
+    p.add_argument("--adversarial_warmup_steps", type=int, default=2000)
+    p.add_argument("--fixed_grl_lambda", type=float, default=None)
+    p.add_argument("--song_id_cache_path", type=str, default=None)
+    p.add_argument("--discriminator_hidden_dim", type=int, default=512)
+    p.add_argument("--discriminator_dropout", type=float, default=0.3)
+    p.add_argument("--resume", type=str, default=None,
+                   help="orbax checkpoint dir to resume from")
+    p.add_argument("--resume_torch", type=str, default=None,
+                   help="reference .pt checkpoint to import weights from")
+    p.add_argument("--weights_only", action="store_true")
+    p.add_argument("--max_steps", type=int, default=None,
+                   help="stop after N steps (smoke runs)")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = get_params(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from mst_tpu.augment import AugmentConfig, augment_stems
+    from mst_tpu.checkpoints import (
+        encoder_params_from_torch,
+        load_torch_checkpoint,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+    from mst_tpu.cli._common import (
+        MetricsLogger,
+        encoder_config_from_args,
+        feature_config_from_args,
+    )
+    from mst_tpu.config import Stage1Config
+    from mst_tpu.data import (
+        FMABaselineDataset,
+        PrefetchLoader,
+        baseline_collate,
+        make_synthetic_corpus,
+        train_val_split,
+    )
+    from mst_tpu.parallel import make_mesh, shard_batch
+    from mst_tpu.train import create_stage1_state, make_eval_step, make_train_step
+
+    if args.synthetic:
+        root = Path(args.checkpoint_dir) / "synthetic_corpus"
+        if not root.exists():
+            make_synthetic_corpus(root, n_tracks=8, duration=3.0,
+                                  sample_rate=args.sample_rate)
+        args.separated_path = str(root)
+    if args.separated_path is None:
+        raise SystemExit("--separated_path (or --synthetic) is required")
+
+    cfg = Stage1Config(
+        encoder=encoder_config_from_args(args),
+        features=feature_config_from_args(args),
+        batch_size=args.batch_size,
+        num_segments=args.num_segments,
+        num_epochs=args.num_epochs,
+        learning_rate=args.learning_rate,
+        weight_decay=args.weight_decay,
+        temperature=args.temperature,
+        seed=args.seed,
+        use_adversarial=args.use_adversarial,
+        adversarial_lambda=args.adversarial_lambda,
+        initial_adversarial_lambda=args.initial_adversarial_lambda,
+        adversarial_warmup_steps=args.adversarial_warmup_steps,
+        fixed_grl_lambda=args.fixed_grl_lambda,
+        discriminator_hidden_dim=args.discriminator_hidden_dim,
+        discriminator_dropout=args.discriminator_dropout,
+        use_augmentation=args.use_augmentation,
+    )
+
+    dataset = FMABaselineDataset(
+        args.separated_path, args.sample_rate, args.clip_duration,
+        args.num_segments, seed=args.seed,
+    )
+    train_idx, val_idx = train_val_split(len(dataset), 0.1, args.seed)
+    print(f"dataset: {len(dataset)} tracks ({len(train_idx)} train / {len(val_idx)} val)")
+
+    loader = PrefetchLoader(dataset, args.batch_size, baseline_collate,
+                            indices=train_idx, num_workers=args.num_workers,
+                            seed=args.seed)
+    val_loader = PrefetchLoader(dataset, args.batch_size, baseline_collate,
+                                indices=val_idx, shuffle=False,
+                                num_workers=args.num_workers)
+
+    steps_per_epoch = max(len(loader), 1)
+    total_steps = steps_per_epoch * args.num_epochs
+
+    state, enc, disc = create_stage1_state(cfg, jax.random.key(args.seed), total_steps)
+    if args.resume_torch:
+        ckpt = load_torch_checkpoint(args.resume_torch)
+        variables = encoder_params_from_torch(
+            ckpt["model_state_dict"], cfg.encoder.n_subbands
+        )
+        state = state.replace(params=variables["params"],
+                              batch_stats=variables["batch_stats"])
+        print(f"imported torch weights from {args.resume_torch}")
+    elif args.resume:
+        state = restore_checkpoint(args.resume, None, state)
+        if args.weights_only:
+            fresh, _, _ = create_stage1_state(cfg, jax.random.key(args.seed), total_steps)
+            state = fresh.replace(params=state.params, batch_stats=state.batch_stats)
+        print(f"resumed from {args.resume} at step {int(state.step)}")
+
+    song_id_cache = None
+    if args.use_adversarial:
+        if args.song_id_cache_path and Path(args.song_id_cache_path).exists():
+            z = np.load(args.song_id_cache_path)
+            song_id_cache = z["embeddings"]
+        else:
+            print("WARNING: no song-ID cache; using zeros (adversarial no-op)")
+            song_id_cache = np.zeros((len(dataset), cfg.song_id_dim), np.float32)
+
+    augment_fn = None
+    if args.use_augmentation:
+        acfg = AugmentConfig(sample_rate=args.sample_rate)
+        augment_fn = lambda rng, stems: augment_stems(rng, stems, acfg)
+
+    mesh = make_mesh()
+    print(f"mesh: {mesh.devices.shape} devices on axes {mesh.axis_names}")
+    step_fn = make_train_step(cfg, enc, disc, total_steps, augment_fn=augment_fn)
+    eval_fn = make_eval_step(cfg, enc)
+
+    logger = MetricsLogger(args.log_dir, "stage1")
+    rng = jax.random.key(args.seed + 1)
+    best_val = float("inf")
+    ckpt_dir = Path(args.checkpoint_dir).absolute()
+    stop = False
+
+    for epoch in range(args.num_epochs):
+        if stop:
+            break
+        for batch in loader:
+            device_batch = {
+                "stems": batch["stems"],
+                "song_labels": batch["song_labels"],
+            }
+            if song_id_cache is not None:
+                device_batch["song_id_emb"] = song_id_cache[batch["song_labels"]]
+            device_batch = shard_batch(device_batch, mesh)
+            with mesh:
+                state, metrics = step_fn(state, device_batch, rng)
+            step = int(state.step)
+            if step % args.log_interval == 0:
+                scalars = {k: float(v) for k, v in metrics.items()}
+                logger.log(step, **scalars)
+                print(f"epoch {epoch} step {step}: " +
+                      " ".join(f"{k}={v:.4f}" for k, v in scalars.items()))
+            if args.max_steps and step >= args.max_steps:
+                stop = True
+                break
+
+        # validation (ref: train.py:388-427); skipped when the corpus is too
+        # small for a val split
+        val_losses = []
+        if len(val_idx) > 0:
+            for batch in val_loader:
+                device_batch = shard_batch(
+                    {"stems": batch["stems"], "song_labels": batch["song_labels"]}, mesh
+                )
+                with mesh:
+                    loss, _ = eval_fn(state, device_batch)
+                val_losses.append(float(loss))
+        val_loss = float(np.mean(val_losses)) if val_losses else float("inf")
+        if val_losses:
+            logger.log(int(state.step), val_loss=val_loss)
+            print(f"epoch {epoch}: val_loss={val_loss:.4f}")
+
+        if val_loss < best_val or not val_losses:
+            # with no val split (tiny corpora), "best" tracks the latest
+            # state so downstream CLIs always find a checkpoint
+            best_val = min(best_val, val_loss)
+            save_checkpoint(ckpt_dir / "best", int(state.step), state, cfg,
+                            {"val_loss": val_loss if val_losses else None,
+                             "epoch": epoch})
+        if (epoch + 1) % args.save_interval == 0:
+            save_checkpoint(ckpt_dir / "periodic", int(state.step), state, cfg,
+                            {"val_loss": val_loss, "epoch": epoch})
+
+    save_checkpoint(ckpt_dir / "final", int(state.step), state, cfg,
+                    {"best_val_loss": best_val if best_val < float("inf") else None})
+    logger.close()
+    print(f"done: {int(state.step)} steps, best val {best_val:.4f}")
+    print(json.dumps({
+        "final_step": int(state.step),
+        "best_val_loss": best_val if best_val < float("inf") else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,184 @@
+"""Style-transfer (TCN) training CLI (ref: src/train_style_transfer.py:410-483).
+
+    python -m mst_tpu.cli.train_style_transfer --separated_path /data/stems \
+        --encoder_checkpoint ckpts/stage1/best --hidden_channels 128 \
+        --num_blocks 14 --kernel_size 15
+
+The frozen encoder loads from an orbax Stage-1 checkpoint or a reference
+torch .pt (--encoder_checkpoint_torch).  Unlike the reference, checkpoints
+always embed the TCN architecture hyperparams (fixes SURVEY.md §2.5's
+missing-keys bug).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+import numpy as np
+
+
+def get_params(argv=None):
+    from mst_tpu.cli._common import add_audio_args, add_model_args
+
+    p = argparse.ArgumentParser(description="TCN style transfer training (TPU)")
+    p.add_argument("--separated_path", type=str, default=None)
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--num_workers", type=int, default=4)
+    add_audio_args(p)
+    add_model_args(p)
+    # encoder (frozen)
+    p.add_argument("--encoder_checkpoint", type=str, default=None)
+    p.add_argument("--encoder_checkpoint_torch", type=str, default=None)
+    # TCN architecture (ref: train_style_transfer.py:431-445)
+    p.add_argument("--hidden_channels", type=int, default=128)
+    p.add_argument("--num_blocks", type=int, default=14)
+    p.add_argument("--kernel_size", type=int, default=15)
+    p.add_argument("--causal", action="store_true")
+    # training
+    p.add_argument("--batch_size", type=int, default=1)
+    p.add_argument("--gradient_accumulation_steps", type=int, default=32)
+    p.add_argument("--num_epochs", type=int, default=50)
+    p.add_argument("--learning_rate", type=float, default=2e-4)
+    p.add_argument("--use_cycle_consistency", action="store_true", default=True)
+    p.add_argument("--no_cycle_consistency", dest="use_cycle_consistency",
+                   action="store_false")
+    p.add_argument("--lambda_cycle", type=float, default=0.1)
+    p.add_argument("--log_interval", type=int, default=10)
+    p.add_argument("--checkpoint_dir", type=str, default="checkpoints_st/")
+    p.add_argument("--log_dir", type=str, default="logs/")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--max_steps", type=int, default=None)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = get_params(argv)
+
+    import jax
+
+    from mst_tpu.checkpoints import (
+        encoder_params_from_torch,
+        load_torch_checkpoint,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+    from mst_tpu.cli._common import (
+        MetricsLogger,
+        encoder_config_from_args,
+        feature_config_from_args,
+    )
+    from mst_tpu.config import StyleTransferConfig, TCNConfig
+    from mst_tpu.data import (
+        PrefetchLoader,
+        StyleTransferDataset,
+        make_synthetic_corpus,
+        style_transfer_collate,
+        train_val_split,
+    )
+    from mst_tpu.models import MixingStyleEncoder
+    from mst_tpu.train import (
+        create_stage1_state,
+        create_style_transfer_state,
+        make_style_transfer_step,
+    )
+
+    if args.synthetic:
+        root = Path(args.checkpoint_dir) / "synthetic_corpus"
+        if not root.exists():
+            make_synthetic_corpus(root, n_tracks=8, duration=3.0,
+                                  sample_rate=args.sample_rate)
+        args.separated_path = str(root)
+    if args.separated_path is None:
+        raise SystemExit("--separated_path (or --synthetic) is required")
+
+    enc_cfg = encoder_config_from_args(args)
+    cfg = StyleTransferConfig(
+        encoder=enc_cfg,
+        features=feature_config_from_args(args),
+        tcn=TCNConfig(
+            hidden_channels=args.hidden_channels,
+            num_blocks=args.num_blocks,
+            kernel_size=args.kernel_size,
+            causal=args.causal,
+            use_film=True,
+            film_embed_dim=2 * enc_cfg.embed_dim,
+        ),
+        batch_size=args.batch_size,
+        grad_accum_steps=args.gradient_accumulation_steps,
+        learning_rate=args.learning_rate,
+        num_epochs=args.num_epochs,
+        use_cycle_consistency=args.use_cycle_consistency,
+        cycle_weight=args.lambda_cycle,
+        seed=args.seed,
+    )
+
+    # frozen encoder
+    enc = MixingStyleEncoder(enc_cfg)
+    from mst_tpu.config import Stage1Config
+
+    s1cfg = Stage1Config(encoder=enc_cfg, features=cfg.features)
+    s1state, _, _ = create_stage1_state(s1cfg, jax.random.key(args.seed), 1)
+    if args.encoder_checkpoint_torch:
+        ckpt = load_torch_checkpoint(args.encoder_checkpoint_torch)
+        enc_vars = encoder_params_from_torch(
+            ckpt["model_state_dict"], enc_cfg.n_subbands
+        )
+    elif args.encoder_checkpoint:
+        s1state = restore_checkpoint(args.encoder_checkpoint, None, s1state)
+        enc_vars = {"params": s1state.params, "batch_stats": s1state.batch_stats}
+        print(f"loaded encoder from {args.encoder_checkpoint}")
+    else:
+        print("WARNING: randomly initialized encoder (no checkpoint given)")
+        enc_vars = {"params": s1state.params, "batch_stats": s1state.batch_stats}
+
+    dataset = StyleTransferDataset(args.separated_path, args.sample_rate,
+                                   args.clip_duration, seed=args.seed)
+    train_idx, _ = train_val_split(len(dataset), 0.1, args.seed)
+    loader = PrefetchLoader(dataset, args.batch_size, style_transfer_collate,
+                            indices=train_idx, num_workers=args.num_workers,
+                            seed=args.seed)
+
+    total_steps = max(len(loader), 1) * args.num_epochs
+    state, tcn, gen, tx = create_style_transfer_state(
+        cfg, jax.random.key(args.seed), total_steps
+    )
+    step_fn = make_style_transfer_step(cfg, enc, enc_vars, tcn, gen, tx)
+
+    logger = MetricsLogger(args.log_dir, "style_transfer")
+    rng = jax.random.key(args.seed + 1)
+    ckpt_dir = Path(args.checkpoint_dir).absolute()
+    (ckpt_dir).mkdir(parents=True, exist_ok=True)
+    (ckpt_dir / "config.json").write_text(
+        json.dumps({"tcn": {"hidden_channels": args.hidden_channels,
+                            "num_blocks": args.num_blocks,
+                            "kernel_size": args.kernel_size,
+                            "causal": args.causal},
+                    "encoder_dim": enc_cfg.embed_dim}, indent=2)
+    )
+
+    stop = False
+    for epoch in range(args.num_epochs):
+        if stop:
+            break
+        for batch in loader:
+            state, metrics = step_fn(state, batch, rng)
+            step = int(state.step)
+            if step % args.log_interval == 0:
+                scalars = {k: float(v) for k, v in metrics.items()}
+                logger.log(step, **scalars)
+                print(f"epoch {epoch} step {step}: " +
+                      " ".join(f"{k}={v:.4f}" for k, v in scalars.items()))
+            if args.max_steps and step >= args.max_steps:
+                stop = True
+                break
+        save_checkpoint(ckpt_dir / "latest", int(state.step), state, cfg)
+
+    save_checkpoint(ckpt_dir / "final", int(state.step), state, cfg)
+    logger.close()
+    print(json.dumps({"final_step": int(state.step)}))
+
+
+if __name__ == "__main__":
+    main()

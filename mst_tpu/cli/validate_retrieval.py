@@ -1,0 +1,110 @@
+"""Retrieval validation CLI (ref: inference/validate_retrieval.py).
+
+In-domain protocol: queries = last 10 s of each val track, pool = first 10 s
+of all val tracks, top-1/top-5 own-track hit rate
+(ref: validate_retrieval.py:92-165).  Writes metrics.json + embedding caches.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+import numpy as np
+
+
+def get_params(argv=None):
+    from mst_tpu.cli._common import add_audio_args, add_model_args
+
+    p = argparse.ArgumentParser(description="Retrieval validation (TPU)")
+    p.add_argument("--separated_path", type=str, required=True)
+    add_audio_args(p)
+    add_model_args(p)
+    p.add_argument("--checkpoint", type=str, default=None,
+                   help="orbax stage-1 checkpoint dir")
+    p.add_argument("--checkpoint_torch", type=str, default=None,
+                   help="reference .pt checkpoint")
+    p.add_argument("--output_dir", type=str, default="validation_results/")
+    p.add_argument("--cache_dir", type=str, default=None,
+                   help="reuse/save embedding caches here")
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--seed", type=int, default=42)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = get_params(argv)
+
+    import jax
+
+    from mst_tpu.checkpoints import (
+        encoder_params_from_torch,
+        load_torch_checkpoint,
+        restore_checkpoint,
+    )
+    from mst_tpu.cli._common import encoder_config_from_args, feature_config_from_args
+    from mst_tpu.config import Stage1Config
+    from mst_tpu.data import FMABaselineDataset, train_val_split
+    from mst_tpu.eval import (
+        build_embedding_cache,
+        evaluate_retrieval_accuracy,
+        load_embedding_cache,
+        save_embedding_cache,
+    )
+    from mst_tpu.models import MixingStyleEncoder
+    from mst_tpu.train import create_stage1_state
+
+    enc_cfg = encoder_config_from_args(args)
+    fcfg = feature_config_from_args(args)
+    enc = MixingStyleEncoder(enc_cfg)
+
+    s1state, _, _ = create_stage1_state(
+        Stage1Config(encoder=enc_cfg, features=fcfg), jax.random.key(args.seed), 1
+    )
+    if args.checkpoint_torch:
+        ckpt = load_torch_checkpoint(args.checkpoint_torch)
+        enc_vars = encoder_params_from_torch(ckpt["model_state_dict"], enc_cfg.n_subbands)
+    elif args.checkpoint:
+        s1state = restore_checkpoint(args.checkpoint, None, s1state)
+        enc_vars = {"params": s1state.params, "batch_stats": s1state.batch_stats}
+    else:
+        print("WARNING: randomly initialized encoder")
+        enc_vars = {"params": s1state.params, "batch_stats": s1state.batch_stats}
+
+    dataset = FMABaselineDataset(args.separated_path, args.sample_rate,
+                                 args.clip_duration, num_segments=1, seed=args.seed)
+    _, val_idx = train_val_split(len(dataset), 0.1, args.seed)
+    if len(val_idx) == 0:
+        val_idx = np.arange(len(dataset))
+    print(f"validating retrieval over {len(val_idx)} tracks")
+
+    cache_dir = Path(args.cache_dir) if args.cache_dir else None
+    caches = {}
+    for name, segment in (("queries", "last"), ("pool", "first")):
+        cache_path = cache_dir / f"{name}.npz" if cache_dir else None
+        if cache_path and cache_path.exists():
+            caches[name] = load_embedding_cache(cache_path)
+            print(f"loaded {name} cache from {cache_path}")
+        else:
+            caches[name] = build_embedding_cache(
+                enc, enc_vars, dataset, val_idx, fcfg, segment=segment,
+                clip_duration=args.clip_duration, batch_size=args.batch_size,
+            )
+            if cache_path:
+                cache_path.parent.mkdir(parents=True, exist_ok=True)
+                save_embedding_cache(cache_path, caches[name])
+
+    metrics = evaluate_retrieval_accuracy(
+        caches["queries"]["embeddings"], caches["queries"]["track_indices"],
+        caches["pool"]["embeddings"], caches["pool"]["track_indices"],
+        ks=(1, 5),
+    )
+    out = Path(args.output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    (out / "metrics.json").write_text(json.dumps(metrics, indent=2))
+    print(json.dumps(metrics))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,119 @@
+"""Retrieval validation utilities (ref: src/validation_utils.py).
+
+Embedding caches keep the reference's logical format
+{embeddings (N, D), track_indices, track_paths} (ref:
+validation_utils.py:206-213) but persist as .npz.  Retrieval is one
+device-side cosine matmul over the whole pool instead of the reference's
+per-query loop (ref: validation_utils.py:217-240).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mst_tpu.config import FeatureConfig
+from mst_tpu.features import extract_mixing_features
+
+
+def compute_embeddings(enc, variables, stems_batch, fcfg: FeatureConfig,
+                       batch_size: int = 8) -> np.ndarray:
+    """Embed (N, 4, 2, T) stems -> (N, D), batched through one jitted fn."""
+
+    @jax.jit
+    def embed(stems):
+        feats = extract_mixing_features(stems, fcfg)
+        return enc.apply(variables, stems, feats, train=False)
+
+    out = []
+    for i in range(0, stems_batch.shape[0], batch_size):
+        out.append(np.asarray(embed(jnp.asarray(stems_batch[i : i + batch_size]))))
+    return np.concatenate(out, axis=0)
+
+
+def build_embedding_cache(enc, variables, dataset, indices, fcfg: FeatureConfig,
+                          segment: str = "first", clip_duration: float = 10.0,
+                          batch_size: int = 8) -> dict:
+    """Embed one segment per track (ref: validation_utils.py:151-214).
+
+    ``segment``: 'first' (pool) or 'last' (queries) 10 s of each track
+    (ref: validate_retrieval.py:92-150)."""
+    stems_list, track_indices, track_paths = [], [], []
+    for idx in indices:
+        try:
+            item = dataset[int(idx)]
+        except Exception as e:  # per-item tolerance (ref: 177-203)
+            print(f"[embedding_cache] skipping {idx}: {e}")
+            continue
+        stems = item["stems"] if isinstance(item, dict) else item[0]
+        if stems.ndim == 4:  # (num_segments, 4, 2, T) -> first segment
+            stems = stems[0]
+        n = int(clip_duration * dataset.sr)
+        if stems.shape[-1] >= n:
+            stems = stems[..., :n] if segment == "first" else stems[..., -n:]
+        else:
+            pad = np.zeros(stems.shape[:-1] + (n,), np.float32)
+            pad[..., : stems.shape[-1]] = stems
+            stems = pad
+        stems_list.append(stems)
+        track_indices.append(int(idx))
+        track_paths.append(
+            str(getattr(dataset, "track_dirs", ["?"] * len(dataset))[int(idx)])
+        )
+    embs = compute_embeddings(
+        enc, variables, np.stack(stems_list), fcfg, batch_size
+    )
+    return {
+        "embeddings": embs,
+        "track_indices": np.asarray(track_indices),
+        "track_paths": track_paths,
+    }
+
+
+def retrieve_top_k(query_embs: np.ndarray, pool_embs: np.ndarray, k: int = 5):
+    """Cosine top-k for every query: returns (indices (Q, k), sims (Q, k))."""
+    q = query_embs / (np.linalg.norm(query_embs, axis=1, keepdims=True) + 1e-12)
+    p = pool_embs / (np.linalg.norm(pool_embs, axis=1, keepdims=True) + 1e-12)
+    sims = q @ p.T
+    top = np.argsort(-sims, axis=1)[:, :k]
+    return top, np.take_along_axis(sims, top, axis=1)
+
+
+def evaluate_retrieval_accuracy(
+    query_embs: np.ndarray,
+    query_track_idx: np.ndarray,
+    pool_embs: np.ndarray,
+    pool_track_idx: np.ndarray,
+    ks=(1, 5),
+) -> dict:
+    """Top-k hit rate: query's own track found among the k nearest pool
+    entries (ref: validation_utils.py:243-282)."""
+    top, _ = retrieve_top_k(query_embs, pool_embs, k=max(ks))
+    retrieved = np.asarray(pool_track_idx)[top]  # (Q, kmax)
+    out = {}
+    for k in ks:
+        hits = (retrieved[:, :k] == np.asarray(query_track_idx)[:, None]).any(axis=1)
+        out[f"top{k}_accuracy"] = float(hits.mean())
+    out["num_queries"] = int(len(query_embs))
+    return out
+
+
+def save_embedding_cache(path: str | Path, cache: dict) -> None:
+    np.savez(
+        path,
+        embeddings=cache["embeddings"],
+        track_indices=cache["track_indices"],
+        track_paths=np.asarray(cache["track_paths"], dtype=object),
+    )
+
+
+def load_embedding_cache(path: str | Path) -> dict:
+    z = np.load(path, allow_pickle=True)
+    return {
+        "embeddings": z["embeddings"],
+        "track_indices": z["track_indices"],
+        "track_paths": list(z["track_paths"]),
+    }

@@ -1,0 +1,36 @@
+"""Multi-resolution STFT loss (ref: src/loss.py:332-448).
+
+Spectral convergence (Frobenius ratio) + log-magnitude L1 at FFT sizes
+{1024, 2048, 512} / hops {256, 512, 128}, averaged.  Used for style-transfer
+cycle consistency (ref: train_style_transfer.py:229-249).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from mst_tpu.ops.stft import stft
+
+DEFAULT_RESOLUTIONS = ((1024, 256), (2048, 512), (512, 128))
+
+
+def multi_resolution_stft_loss(
+    x: jax.Array,
+    y: jax.Array,
+    resolutions=DEFAULT_RESOLUTIONS,
+) -> jax.Array:
+    """x, y: (..., T) predicted / target audio (any leading batch dims)."""
+    total = 0.0
+    for n_fft, hop in resolutions:
+        xs = stft(x, n_fft, hop)
+        ys = stft(y, n_fft, hop)
+        x_mag = jnp.abs(xs)
+        y_mag = jnp.abs(ys)
+        # Frobenius norm over the whole tensor, as torch.norm(p='fro') does
+        sc = jnp.linalg.norm((y_mag - x_mag).ravel()) / (
+            jnp.linalg.norm(y_mag.ravel()) + 1e-8
+        )
+        log_mag = jnp.mean(jnp.abs(jnp.log(x_mag + 1e-5) - jnp.log(y_mag + 1e-5)))
+        total = total + sc + log_mag
+    return total / len(resolutions)

@@ -1,0 +1,31 @@
+from mst_tpu.models.encoder import (
+    MelFrontend,
+    SubBandCNN,
+    AttentionPooling,
+    BandSplitEncoder,
+    MixingFeatureEncoder,
+    MixingStyleEncoder,
+)
+from mst_tpu.models.discriminator import SongIdentityDiscriminator
+from mst_tpu.models.grl import (
+    gradient_reversal,
+    compute_grl_lambda,
+    compute_adversarial_lambda,
+)
+from mst_tpu.models.tcn import TCNMixer, TCNFiLMGenerator, create_tcn_config
+
+__all__ = [
+    "MelFrontend",
+    "SubBandCNN",
+    "AttentionPooling",
+    "BandSplitEncoder",
+    "MixingFeatureEncoder",
+    "MixingStyleEncoder",
+    "SongIdentityDiscriminator",
+    "gradient_reversal",
+    "compute_grl_lambda",
+    "compute_adversarial_lambda",
+    "TCNMixer",
+    "TCNFiLMGenerator",
+    "create_tcn_config",
+]

@@ -1,0 +1,114 @@
+"""SCNet separation training.
+
+The reference never trains SCNet (it consumes an upstream checkpoint,
+SURVEY.md §2.1); without the submodule the checkpoint cannot be ported, so
+this recipe trains from scratch on MUSDB-style stem corpora.  Loss follows
+the SCNet paper: waveform L1 + multi-resolution STFT on each source, with
+random-chunk + stem-shuffle augmentation (the standard MSS recipe).
+Data-parallel over the mesh like the Stage-1 trainer.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+
+from mst_tpu.losses import multi_resolution_stft_loss
+from mst_tpu.separation.scnet import SCNet, SCNetConfig
+from mst_tpu.train.schedules import warmup_cosine_schedule
+
+
+@flax.struct.dataclass
+class SeparationState:
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def create_separation_state(
+    cfg: SCNetConfig, rng: jax.Array, total_steps: int,
+    learning_rate: float = 5e-4, chunk_samples: int = 441000,
+):
+    model = SCNet(cfg)
+    dummy = jnp.zeros((1, cfg.audio_channels, chunk_samples))
+    variables = model.init(rng, dummy)
+    tx = optax.chain(
+        optax.clip_by_global_norm(5.0),
+        optax.adamw(warmup_cosine_schedule(learning_rate, total_steps, 1000)),
+    )
+    state = SeparationState(
+        params=variables["params"],
+        opt_state=tx.init(variables["params"]),
+        step=jnp.zeros((), jnp.int32),
+    )
+    return state, model, tx
+
+
+def separation_loss(pred: jax.Array, target: jax.Array) -> jax.Array:
+    """pred/target (B, S, 2, T): L1 + 0.5 * MR-STFT per source."""
+    l1 = jnp.mean(jnp.abs(pred - target))
+    spec = multi_resolution_stft_loss(
+        pred.reshape(-1, pred.shape[-1]), target.reshape(-1, target.shape[-1])
+    )
+    return l1 + 0.5 * spec
+
+
+def shuffle_stems_augment(rng: jax.Array, stems: jax.Array) -> jax.Array:
+    """Remix augmentation: per-stem random gain + channel swap
+    (B, S, 2, T) -> same.  The classic MSS trick of recombining stems
+    across batch items is done by permuting the batch per stem."""
+    B, S, C, T = stems.shape
+    k1, k2, k3 = jax.random.split(rng, 3)
+    gains = jax.random.uniform(k1, (B, S, 1, 1), minval=0.5, maxval=1.2)
+    swap = jax.random.bernoulli(k2, 0.5, (B, S, 1, 1))
+    swapped = stems[:, :, ::-1, :]
+    stems = jnp.where(swap, swapped, stems) * gains
+    perms = jax.vmap(lambda k: jax.random.permutation(k, B))(
+        jax.random.split(k3, S)
+    )  # (S, B)
+    remixed = jnp.stack([stems[perms[s], s] for s in range(S)], axis=1)
+    return remixed
+
+
+def make_separation_train_step(model: SCNet, tx, augment: bool = True):
+    """batch: {'stems': (B, 4, 2, T)}; mixture is the stem sum."""
+
+    def loss_fn(params, batch, rng):
+        stems = batch["stems"]
+        if augment:
+            stems = shuffle_stems_augment(rng, stems)
+        mixture = jnp.sum(stems, axis=1)
+        pred = model.apply({"params": params}, mixture)
+        loss = separation_loss(pred, stems)
+        return loss, {"loss": loss}
+
+    def train_step(state: SeparationState, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, rng
+        )
+        upd, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, upd)
+        return (
+            state.replace(params=new_params, opt_state=new_opt, step=state.step + 1),
+            metrics,
+        )
+
+    return jax.jit(train_step)
+
+
+def si_sdr(pred: jax.Array, target: jax.Array, eps: float = 1e-8) -> jax.Array:
+    """Scale-invariant SDR in dB over the last axis (eval metric)."""
+    t = target - jnp.mean(target, axis=-1, keepdims=True)
+    p = pred - jnp.mean(pred, axis=-1, keepdims=True)
+    s = jnp.sum(p * t, axis=-1, keepdims=True) * t / (
+        jnp.sum(t**2, axis=-1, keepdims=True) + eps
+    )
+    e = p - s
+    return 10.0 * jnp.log10(
+        (jnp.sum(s**2, axis=-1) + eps) / (jnp.sum(e**2, axis=-1) + eps)
+    )

@@ -1,0 +1,220 @@
+"""Stage-1 contrastive trainer (ref: src/train.py).
+
+One jitted global-batch train step, data-parallel over a ``Mesh`` via
+NamedSharding constraints (XLA SPMD inserts the ICI collectives).  The
+reference's hot loop crosses host<->device every step for CPU feature
+extraction (SURVEY.md §3.1); here features (and optional augmentations) are
+computed *inside* the step, so clips never leave HBM.
+
+Losses/semantics preserved: vectorized InfoNCE over song labels
+(ref: loss.py:31-136), optional adversarial song-identity removal through a
+GRL'd discriminator with the DANN lambda schedules (ref: train.py:130-204,
+grl.py:98-164), AdamW + warmup-2000/cosine per-step schedule
+(ref: train.py:586-644).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Optional
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+
+from mst_tpu.config import Stage1Config
+from mst_tpu.features import extract_mixing_features
+from mst_tpu.losses import info_nce_loss
+from mst_tpu.models import (
+    MixingStyleEncoder,
+    SongIdentityDiscriminator,
+    gradient_reversal,
+    compute_grl_lambda,
+    compute_adversarial_lambda,
+)
+from mst_tpu.train.schedules import warmup_cosine_schedule
+
+
+@flax.struct.dataclass
+class Stage1State:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jax.Array
+    disc_params: Any = None
+    disc_opt_state: Any = None
+
+
+def _make_optimizer(cfg: Stage1Config, total_steps: int) -> optax.GradientTransformation:
+    return optax.adamw(
+        learning_rate=warmup_cosine_schedule(
+            cfg.learning_rate, total_steps, cfg.warmup_steps
+        ),
+        weight_decay=cfg.weight_decay,
+    )
+
+
+def create_stage1_state(
+    cfg: Stage1Config, rng: jax.Array, total_steps: int
+) -> tuple[Stage1State, MixingStyleEncoder, Optional[SongIdentityDiscriminator]]:
+    """Initialize encoder (+ discriminator) and optimizer state."""
+    enc = MixingStyleEncoder(cfg.encoder)
+    a = cfg.encoder.audio
+    dummy_stems = jnp.zeros((2, 4, 2, a.clip_samples), jnp.float32)
+    dummy_feats = jnp.zeros((2, cfg.encoder.feature_dim), jnp.float32)
+    variables = enc.init(rng, dummy_stems, dummy_feats)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+
+    tx = _make_optimizer(cfg, total_steps)
+    opt_state = tx.init(params)
+
+    disc = None
+    disc_params = None
+    disc_opt_state = None
+    if cfg.use_adversarial:
+        disc = SongIdentityDiscriminator(
+            hidden_dim=cfg.discriminator_hidden_dim,
+            output_dim=cfg.song_id_dim,
+            dropout=cfg.discriminator_dropout,
+        )
+        disc_params = disc.init(
+            jax.random.fold_in(rng, 1), jnp.zeros((2, cfg.encoder.embed_dim))
+        )["params"]
+        disc_opt_state = tx.init(disc_params)
+
+    state = Stage1State(
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=opt_state,
+        step=jnp.zeros((), jnp.int32),
+        disc_params=disc_params,
+        disc_opt_state=disc_opt_state,
+    )
+    return state, enc, disc
+
+
+def make_train_step(
+    cfg: Stage1Config,
+    enc: MixingStyleEncoder,
+    disc: Optional[SongIdentityDiscriminator],
+    total_steps: int,
+    features_on_device: bool = True,
+    augment_fn=None,
+):
+    """Build the jitted train step.
+
+    batch: dict with
+      stems        (N, 4, 2, T) float32  (N = batch * num_segments)
+      song_labels  (N,) int32
+      features     (N, 64)  -- only if features_on_device=False
+      song_id_emb  (N, song_id_dim) -- only for adversarial training
+    """
+    tx = _make_optimizer(cfg, total_steps)
+
+    def loss_fn(params, disc_params, batch_stats, batch, rng, step):
+        stems = batch["stems"]
+        if augment_fn is not None:
+            rng, aug_rng = jax.random.split(rng)
+            stems = augment_fn(aug_rng, stems)
+        if features_on_device:
+            feats = extract_mixing_features(stems, cfg.features)
+        else:
+            feats = batch["features"]
+
+        emb, updates = enc.apply(
+            {"params": params, "batch_stats": batch_stats},
+            stems,
+            feats,
+            train=True,
+            rngs={"dropout": rng},
+            mutable=["batch_stats"],
+        )
+
+        loss_nce = info_nce_loss(emb, batch["song_labels"], cfg.temperature)
+        metrics = {"infonce": loss_nce}
+        total = loss_nce
+
+        if cfg.use_adversarial and disc is not None:
+            grl_lam = (
+                cfg.fixed_grl_lambda
+                if cfg.fixed_grl_lambda is not None
+                else compute_grl_lambda(step, total_steps, cfg.adversarial_warmup_steps)
+            )
+            adv_lam = compute_adversarial_lambda(
+                step,
+                total_steps,
+                cfg.adversarial_warmup_steps,
+                cfg.initial_adversarial_lambda,
+                cfg.adversarial_lambda,
+            )
+            rev = gradient_reversal(emb, grl_lam)
+            pred = disc.apply(
+                {"params": disc_params}, rev, train=True,
+                rngs={"dropout": jax.random.fold_in(rng, 2)},
+            )
+            adv_loss = jnp.mean((pred - batch["song_id_emb"]) ** 2)
+            total = total + adv_lam * adv_loss
+            metrics["adversarial"] = adv_loss
+            metrics["grl_lambda"] = grl_lam
+            metrics["adv_lambda"] = adv_lam
+
+        metrics["total"] = total
+        return total, (updates["batch_stats"], metrics)
+
+    def train_step(state: Stage1State, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        if cfg.use_adversarial and disc is not None:
+            (loss, (new_bs, metrics)), grads = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True
+            )(state.params, state.disc_params, state.batch_stats, batch, rng, state.step)
+            g_enc, g_disc = grads
+            upd, new_opt = tx.update(g_enc, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, upd)
+            d_upd, new_d_opt = tx.update(g_disc, state.disc_opt_state, state.disc_params)
+            new_disc = optax.apply_updates(state.disc_params, d_upd)
+            new_state = state.replace(
+                params=new_params,
+                disc_params=new_disc,
+                opt_state=new_opt,
+                disc_opt_state=new_d_opt,
+                batch_stats=new_bs,
+                step=state.step + 1,
+            )
+        else:
+            (loss, (new_bs, metrics)), g_enc = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params, None, state.batch_stats, batch, rng, state.step)
+            upd, new_opt = tx.update(g_enc, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, upd)
+            new_state = state.replace(
+                params=new_params,
+                opt_state=new_opt,
+                batch_stats=new_bs,
+                step=state.step + 1,
+            )
+        return new_state, metrics
+
+    return jax.jit(train_step)
+
+
+def make_eval_step(cfg: Stage1Config, enc: MixingStyleEncoder,
+                   features_on_device: bool = True):
+    """Validation forward (no grads, running BN stats; ref: train.py:388-427)."""
+
+    def eval_step(state: Stage1State, batch):
+        if features_on_device:
+            feats = extract_mixing_features(batch["stems"], cfg.features)
+        else:
+            feats = batch["features"]
+        emb = enc.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["stems"],
+            feats,
+            train=False,
+        )
+        loss = info_nce_loss(emb, batch["song_labels"], cfg.temperature)
+        return loss, emb
+
+    return jax.jit(eval_step)

@@ -1,0 +1,3 @@
+from mst_tpu.utils.profiling import StepTimer, trace_profile
+
+__all__ = ["StepTimer", "trace_profile"]

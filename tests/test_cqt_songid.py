@@ -1,0 +1,59 @@
+"""CQT op + song-identity extraction pipeline tests."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from mst_tpu.ops.cqt import cqt
+
+
+def test_cqt_peak_at_note_frequency():
+    """A pure A4 (440 Hz) must peak at CQT bin for A4."""
+    sr = 22050
+    t = np.arange(sr * 2) / sr
+    x = np.sin(2 * np.pi * 440.0 * t).astype(np.float32)
+    mag = np.asarray(cqt(jnp.asarray(x), sr, hop_length=512, n_bins=84))
+    assert mag.shape[0] == 84
+    mean_per_bin = mag.mean(axis=1)
+    # bin index of 440 Hz with fmin C1=32.703: 12*log2(440/32.703) ~= 45
+    expected_bin = int(round(12 * np.log2(440.0 / 32.703195)))
+    assert abs(int(mean_per_bin.argmax()) - expected_bin) <= 1
+
+
+def test_cqt_octave_separation():
+    sr = 22050
+    t = np.arange(sr) / sr
+    x1 = np.sin(2 * np.pi * 110.0 * t).astype(np.float32)
+    x2 = np.sin(2 * np.pi * 220.0 * t).astype(np.float32)
+    m1 = np.asarray(cqt(jnp.asarray(x1), sr)).mean(axis=1)
+    m2 = np.asarray(cqt(jnp.asarray(x2), sr)).mean(axis=1)
+    assert int(m2.argmax()) - int(m1.argmax()) == 12  # exactly one octave
+
+
+def test_preprocess_cqt_shape_and_standardization():
+    from mst_tpu.cli.extract_song_identity import preprocess_cqt
+
+    rng = np.random.default_rng(0)
+    mag = rng.random((84, 4000)).astype(np.float32)
+    out = preprocess_cqt(mag, downsample=20, max_frames=7600)
+    assert out.shape == (84, 7600)
+    # standardized over the non-padded region
+    valid = out[:, :200]
+    np.testing.assert_allclose(valid.mean(axis=1), 0.0, atol=1e-4)
+
+
+def test_song_identity_cli(tmp_path):
+    from mst_tpu.cli.extract_song_identity import main
+    from mst_tpu.data import make_synthetic_corpus
+
+    corpus = make_synthetic_corpus(tmp_path / "c", n_tracks=3, duration=2.0,
+                                   sample_rate=22050)
+    out = tmp_path / "songid.npz"
+    main(["--separated_path", str(corpus), "--output", str(out)])
+    z = np.load(out, allow_pickle=True)
+    assert z["embeddings"].shape == (3, 512)
+    norms = np.linalg.norm(z["embeddings"], axis=1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+    # different songs -> different embeddings
+    sims = z["embeddings"] @ z["embeddings"].T
+    assert sims[0, 1] < 0.999

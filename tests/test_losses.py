@@ -1,0 +1,133 @@
+"""Loss parity tests vs torch implementations of the reference formulas."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from mst_tpu.losses import (
+    info_nce_loss,
+    nt_xent_loss,
+    multi_resolution_stft_loss,
+    UncertaintyWeightedMSE,
+    feature_group_slices,
+)
+
+
+def _ref_infonce(emb, labels, temperature=0.1):
+    """Reference InfoNCE semantics (ref: loss.py:31-136), torch."""
+    emb = torch.from_numpy(emb)
+    labels = torch.from_numpy(labels)
+    e = F.normalize(emb, dim=1)
+    sim = e @ e.T / temperature
+    same = labels.unsqueeze(1) == labels.unsqueeze(0)
+    eye = torch.eye(len(labels), dtype=torch.bool)
+    pos = (same & ~eye).float()
+    neg = (~same & ~eye).float()
+    sim = sim - sim.max(dim=1, keepdim=True)[0]
+    ex = torch.exp(sim)
+    losses = []
+    for i in range(len(labels)):
+        ps = (ex[i] * pos[i]).sum()
+        ns = (ex[i] * neg[i]).sum()
+        if ps > 0:
+            losses.append(-torch.log(ps / (ps + ns + 1e-8)))
+    return torch.stack(losses).mean().item()
+
+
+def test_infonce_matches_reference(rng):
+    emb = rng.standard_normal((12, 64)).astype(np.float32)
+    labels = np.repeat(np.arange(6), 2).astype(np.int32)
+    got = float(info_nce_loss(jnp.asarray(emb), jnp.asarray(labels), 0.1))
+    ref = _ref_infonce(emb, labels, 0.1)
+    np.testing.assert_allclose(got, ref, rtol=1e-5)
+
+
+def test_infonce_some_anchors_without_positives(rng):
+    emb = rng.standard_normal((5, 32)).astype(np.float32)
+    labels = np.asarray([0, 0, 1, 2, 3], np.int32)  # anchors 2,3,4 have no positives
+    got = float(info_nce_loss(jnp.asarray(emb), jnp.asarray(labels), 0.1))
+    ref = _ref_infonce(emb, labels, 0.1)
+    np.testing.assert_allclose(got, ref, rtol=1e-5)
+
+
+def test_infonce_sharded_matches_single_device(rng):
+    """all_gather variant over an 8-device CPU mesh == global-batch loss."""
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    emb = rng.standard_normal((16, 32)).astype(np.float32)
+    labels = np.repeat(np.arange(8), 2).astype(np.int32)
+    expected = float(info_nce_loss(jnp.asarray(emb), jnp.asarray(labels), 0.1))
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    f = shard_map(
+        lambda e, l: info_nce_loss(e, l, 0.1, axis_name="data"),
+        mesh=mesh,
+        in_specs=(P("data"), P("data")),
+        out_specs=P(),
+    )
+    got = float(f(jnp.asarray(emb), jnp.asarray(labels)))
+    np.testing.assert_allclose(got, expected, rtol=1e-5)
+
+
+def test_nt_xent_matches_torch(rng):
+    zi = rng.standard_normal((8, 16)).astype(np.float32)
+    zj = rng.standard_normal((8, 16)).astype(np.float32)
+    got = float(nt_xent_loss(jnp.asarray(zi), jnp.asarray(zj), 0.1))
+
+    z = F.normalize(torch.from_numpy(np.concatenate([zi, zj])), dim=1)
+    sim = z @ z.T / 0.1
+    sim.masked_fill_(torch.eye(16, dtype=torch.bool), -1e9)
+    labels = torch.cat([torch.arange(8) + 8, torch.arange(8)])
+    ref = F.cross_entropy(sim, labels).item()
+    np.testing.assert_allclose(got, ref, rtol=1e-5)
+
+
+def test_mrstft_matches_torch(rng):
+    x = rng.standard_normal((2, 8192)).astype(np.float32) * 0.3
+    y = (x + rng.standard_normal((2, 8192)).astype(np.float32) * 0.05)
+
+    got = float(multi_resolution_stft_loss(jnp.asarray(x), jnp.asarray(y)))
+
+    total = 0.0
+    for n_fft, hop in ((1024, 256), (2048, 512), (512, 128)):
+        w = torch.hann_window(n_fft)
+        xs = torch.stft(torch.from_numpy(x), n_fft, hop, window=w,
+                        center=True, pad_mode="reflect", return_complex=True)
+        ys = torch.stft(torch.from_numpy(y), n_fft, hop, window=w,
+                        center=True, pad_mode="reflect", return_complex=True)
+        xm, ym = xs.abs(), ys.abs()
+        sc = torch.norm(ym - xm, p="fro") / (torch.norm(ym, p="fro") + 1e-8)
+        lm = F.l1_loss(torch.log(xm + 1e-5), torch.log(ym + 1e-5))
+        total += (sc + lm).item()
+    np.testing.assert_allclose(got, total / 3, rtol=1e-3)
+
+
+def test_mrstft_zero_for_identical(rng):
+    x = rng.standard_normal((8192,)).astype(np.float32)
+    assert float(multi_resolution_stft_loss(jnp.asarray(x), jnp.asarray(x))) < 1e-6
+
+
+def test_feature_group_slices_cover_all_64():
+    groups = feature_group_slices()
+    allidx = sorted(i for idx in groups.values() for i in idx)
+    assert allidx == list(range(64))
+    assert len(groups["dynamics"]) == 24
+    assert len(groups["spectral"]) == 20
+    assert len(groups["stereo"]) == 12
+    assert len(groups["global"]) == 8
+
+
+def test_uncertainty_weighted_mse(rng):
+    pred = jnp.asarray(rng.standard_normal((4, 64)).astype(np.float32))
+    target = jnp.asarray(rng.standard_normal((4, 64)).astype(np.float32))
+    m = UncertaintyWeightedMSE()
+    variables = m.init(jax.random.key(0), pred, target)
+    loss, aux = m.apply(variables, pred, target)
+    # sigma=1 at init: loss = sum_g mse_g / 2
+    expected = sum(float(aux[f"{g}_mse"]) for g in ("dynamics", "spectral", "stereo", "global")) / 2
+    np.testing.assert_allclose(float(loss), expected, rtol=1e-5)
