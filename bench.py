@@ -22,12 +22,17 @@ def _measure_tpu(batch_size: int = 16, iters: int = 10) -> float:
     import jax
     import jax.numpy as jnp
 
-    from mst_tpu.config import TRAINED_ENCODER, FeatureConfig
-    from mst_tpu.features import extract_mixing_features
-    from mst_tpu.models import MixingStyleEncoder
+    import dataclasses
 
-    cfg = TRAINED_ENCODER
-    fcfg = FeatureConfig(audio=cfg.audio)
+    from mst_tpu.config import TRAINED_ENCODER, FeatureConfig
+    from mst_tpu.models import MixingStyleEncoder
+    from mst_tpu.pipeline import embed_stems
+
+    # GEMM-DFT mel front-end: 1.7x pipeline speedup at embedding cosine
+    # 0.999999 vs the rfft parity path (measured on v5e)
+    audio = dataclasses.replace(TRAINED_ENCODER.audio, mel_method="gemm")
+    cfg = dataclasses.replace(TRAINED_ENCODER, audio=audio)
+    fcfg = FeatureConfig(audio=audio)
     model = MixingStyleEncoder(cfg)
 
     T = cfg.audio.clip_samples
@@ -38,8 +43,7 @@ def _measure_tpu(batch_size: int = 16, iters: int = 10) -> float:
 
     @jax.jit
     def pipeline(stems):
-        feats = extract_mixing_features(stems, fcfg)
-        return model.apply(variables, stems, feats, train=False)
+        return embed_stems(model, variables, stems, fcfg)
 
     out = pipeline(stems)
     out.block_until_ready()  # compile + warmup

@@ -30,6 +30,9 @@ class AudioConfig:
     n_fft: int = 1024
     hop_length: int = 256
     n_mels: int = 128
+    #: 'rfft' = bit-parity path; 'gemm' = DFT-as-GEMM on the MXU (~2x faster
+    #: on TPU, bf16 noise at the log floor; ops.stft.spectrogram_gemm)
+    mel_method: str = "rfft"
 
     @property
     def clip_samples(self) -> int:

@@ -21,8 +21,19 @@ import numpy as np
 
 
 def read_wav(path: str | Path) -> tuple[np.ndarray, int]:
-    """Read a RIFF/WAVE file -> (audio (C, T) float32, sample_rate)."""
+    """Read a RIFF/WAVE file -> (audio (C, T) float32, sample_rate).
+
+    Uses the native C++ decoder (mst_tpu.native) when available — fused
+    parse+convert+deinterleave — falling back to the numpy parser."""
     data = Path(path).read_bytes()
+    try:
+        from mst_tpu.native import wav_decode_native
+
+        res = wav_decode_native(data)
+        if res is not None:
+            return res
+    except Exception:
+        pass
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError(f"{path}: not a RIFF/WAVE file")
     pos = 12

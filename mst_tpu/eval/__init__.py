@@ -1,3 +1,6 @@
+from mst_tpu.eval.per_pair import optimize_pair, CONVERGENCE_IMPROVEMENT
+from mst_tpu.eval.transfer_eval import StyleTransferEvaluator
+from mst_tpu.eval.audio_quality import audio_quality_report
 from mst_tpu.eval.retrieval import (
     compute_embeddings,
     build_embedding_cache,
@@ -8,6 +11,10 @@ from mst_tpu.eval.retrieval import (
 )
 
 __all__ = [
+    "optimize_pair",
+    "CONVERGENCE_IMPROVEMENT",
+    "StyleTransferEvaluator",
+    "audio_quality_report",
     "compute_embeddings",
     "build_embedding_cache",
     "retrieve_top_k",

@@ -23,10 +23,11 @@ def compute_embeddings(enc, variables, stems_batch, fcfg: FeatureConfig,
                        batch_size: int = 8) -> np.ndarray:
     """Embed (N, 4, 2, T) stems -> (N, D), batched through one jitted fn."""
 
+    from mst_tpu.pipeline import embed_stems
+
     @jax.jit
     def embed(stems):
-        feats = extract_mixing_features(stems, fcfg)
-        return enc.apply(variables, stems, feats, train=False)
+        return embed_stems(enc, variables, stems, fcfg)
 
     out = []
     for i in range(0, stems_batch.shape[0], batch_size):

@@ -1,0 +1,92 @@
+"""Style-transfer evaluation harness (ref: src/style_transfer_eval.py).
+
+The reference wraps the external st-ito stack (AFx-Rep embeddings + CMA-ES
+over pedalboard chains).  This evaluator keeps the same surface —
+``run_style_transfer(input, target) -> (output, metrics)`` + audio QA —
+with our embedding model and the parametric effect chain from
+:mod:`mst_tpu.eval.effects_search` (CMA-ES or gradient mode).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mst_tpu.eval.audio_quality import audio_quality_report
+from mst_tpu.eval.effects_search import (
+    apply_effect_chain,
+    cma_es_search,
+    gradient_search,
+    _unit_to_params,
+)
+
+
+class StyleTransferEvaluator:
+    """Effect-chain style transfer via embedding-distance minimization.
+
+    ``embed_fn``: (C, T) audio -> (D,) embedding (any model; for parity with
+    the reference pass a mixture-level embedder).
+    """
+
+    def __init__(self, embed_fn: Callable, sample_rate: int = 44100,
+                 method: str = "gradient", num_steps: int = 100,
+                 cma_generations: int = 25, cma_popsize: int = 12):
+        self.embed_fn = embed_fn
+        self.sr = sample_rate
+        self.method = method
+        self.num_steps = num_steps
+        self.cma_generations = cma_generations
+        self.cma_popsize = cma_popsize
+
+    def _distance(self, a_emb, b_emb) -> float:
+        a = np.asarray(a_emb).ravel()
+        b = np.asarray(b_emb).ravel()
+        return float(
+            1.0 - np.dot(a, b) / ((np.linalg.norm(a) * np.linalg.norm(b)) + 1e-12)
+        )
+
+    def run_style_transfer(self, input_audio: np.ndarray,
+                           target_audio: np.ndarray) -> tuple[np.ndarray, dict]:
+        """(C, T) input/target -> (output audio, metrics incl. initial/final
+        embedding distance; ref: style_transfer_eval.py:139-231)."""
+        inp = jnp.asarray(input_audio, jnp.float32)
+        tgt = jnp.asarray(target_audio, jnp.float32)
+        target_emb = self.embed_fn(tgt)
+        initial = self._distance(self.embed_fn(inp), target_emb)
+
+        if self.method == "gradient":
+            out, params, losses = gradient_search(
+                self.embed_fn, inp, target_emb,
+                num_steps=self.num_steps, sample_rate=self.sr,
+            )
+            out = np.asarray(out)
+            best_params = {k: float(v) for k, v in params.items()}
+        else:  # CMA-ES, the reference's protocol
+            def objective(u: np.ndarray) -> float:
+                y = apply_effect_chain(inp, jnp.asarray(u), self.sr)
+                return self._distance(self.embed_fn(y), target_emb)
+
+            best_u, best_f, losses = cma_es_search(
+                objective, num_generations=self.cma_generations,
+                popsize=self.cma_popsize,
+            )
+            out = np.asarray(apply_effect_chain(inp, jnp.asarray(best_u), self.sr))
+            best_params = {
+                k: float(v) for k, v in _unit_to_params(jnp.asarray(best_u)).items()
+            }
+
+        final = self._distance(self.embed_fn(jnp.asarray(out)), target_emb)
+        metrics = {
+            "initial_distance": initial,
+            "final_distance": final,
+            "improvement": (initial - final) / max(initial, 1e-8),
+            "effect_params": best_params,
+            "input_quality": audio_quality_report(inp, self.sr),
+            "output_quality": audio_quality_report(jnp.asarray(out), self.sr),
+            "target_quality": audio_quality_report(tgt, self.sr),
+        }
+        return out, metrics

@@ -137,11 +137,18 @@ def _masking(stem_mels: jax.Array) -> jax.Array:
     return jnp.stack(outs, axis=-1)
 
 
-def extract_mixing_features(stems: jax.Array, cfg: FeatureConfig | None = None) -> jax.Array:
+def extract_mixing_features(
+    stems: jax.Array,
+    cfg: FeatureConfig | None = None,
+    mel_pow: jax.Array | None = None,
+) -> jax.Array:
     """Stems ``(..., 4, 2, T)`` (STEM_AXIS_ORDER) -> features ``(..., 64)``.
 
     Pure function: jit/vmap/grad-safe; one mel spectrogram computation is
-    shared by the spectral, flatness and masking blocks.
+    shared by the spectral, flatness and masking blocks.  Pass ``mel_pow``
+    ``(..., 4, 2, n_mels, F)`` to reuse an already-computed power mel (the
+    encoder front-end computes the identical transform when its audio
+    config matches — the fused pipeline computes it once).
     """
     cfg = cfg or FeatureConfig()
     a = cfg.audio
@@ -150,10 +157,12 @@ def extract_mixing_features(stems: jax.Array, cfg: FeatureConfig | None = None) 
             "detailed spectral mode pending; reference default is 5-feature mode"
         )
 
-    # shared mel power for all stems/channels: (..., 4, 2, n_mels, F)
-    mel_pow = mel_spectrogram(
-        stems, a.sample_rate, a.n_fft, a.hop_length, a.n_mels, power=2.0
-    )
+    if mel_pow is None:
+        # shared mel power for all stems/channels: (..., 4, 2, n_mels, F)
+        mel_pow = mel_spectrogram(
+            stems, a.sample_rate, a.n_fft, a.hop_length, a.n_mels,
+            power=2.0, method=getattr(a, "mel_method", "rfft"),
+        )
 
     mixture = jnp.sum(stems, axis=-3)  # (..., 2, T)
     mix_loud = _loudness(mixture)  # (...,)

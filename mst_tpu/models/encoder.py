@@ -40,14 +40,16 @@ class MelFrontend(nn.Module):
     cfg: EncoderConfig
 
     @nn.compact
-    def __call__(self, stems: jax.Array) -> jax.Array:
+    def __call__(self, stems: jax.Array, mel_pow: jax.Array | None = None) -> jax.Array:
         a = self.cfg.audio
-        B, S, C, T = stems.shape
-        mel = mel_spectrogram(
-            stems, a.sample_rate, a.n_fft, a.hop_length, a.n_mels, power=2.0
-        )  # (B, 4, 2, M, F)
-        mel = jnp.log(mel + 1e-10)
-        mel = mel.reshape(B, S * C, a.n_mels, -1)  # (B, 8, M, F)
+        B, S = stems.shape[:2]
+        if mel_pow is None:
+            mel_pow = mel_spectrogram(
+                stems, a.sample_rate, a.n_fft, a.hop_length, a.n_mels,
+                power=2.0, method=getattr(a, "mel_method", "rfft"),
+            )  # (B, 4, 2, M, F)
+        mel = jnp.log(mel_pow + 1e-10)
+        mel = mel.reshape(B, S * 2, a.n_mels, -1)  # (B, 8, M, F)
         return jnp.transpose(mel, (0, 2, 3, 1))  # NHWC
 
 
@@ -125,9 +127,10 @@ class BandSplitEncoder(nn.Module):
     cfg: EncoderConfig
 
     @nn.compact
-    def __call__(self, stems, film=None, *, train: bool = False):
+    def __call__(self, stems, film=None, *, train: bool = False,
+                 mel_pow=None):
         c = self.cfg
-        x = MelFrontend(c, name="mel")(stems)  # (B, M, F, 8)
+        x = MelFrontend(c, name="mel")(stems, mel_pow)  # (B, M, F, 8)
         B = x.shape[0]
 
         # extract overlapping bands -> (B, nb, split, F, 8)
@@ -209,10 +212,11 @@ class MixingStyleEncoder(nn.Module):
     cfg: EncoderConfig
 
     @nn.compact
-    def __call__(self, stems, mixing_features, *, train: bool = False):
+    def __call__(self, stems, mixing_features, *, train: bool = False,
+                 mel_pow=None):
         film = MixingFeatureEncoder(self.cfg, name="film_encoder")(
             mixing_features, train=train
         )
         return BandSplitEncoder(self.cfg, name="audio_encoder")(
-            stems, film, train=train
+            stems, film, train=train, mel_pow=mel_pow
         )

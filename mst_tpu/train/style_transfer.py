@@ -83,11 +83,12 @@ def make_style_transfer_step(
 
     batch: {input_stems (B, 4, 2, T), target_stems (B, 4, 2, T)}.
     """
+    from mst_tpu.pipeline import embed_stems
+
     fcfg = cfg.features
 
     def embed(stems):
-        feats = extract_mixing_features(stems, fcfg)
-        return enc.apply(enc_variables, stems, feats, train=False)
+        return embed_stems(enc, enc_variables, stems, fcfg)
 
     def loss_fn(params, tcn_stats, batch, rng):
         inp = batch["input_stems"]
@@ -175,11 +176,12 @@ def apply_style_transfer(
     """Inference: transfer target's mixing style onto input
     (ref: inference_e2e_style_transfer.py:124-177).  Returns
     (output_stems (B, 4, 2, T), metrics with initial/final distance)."""
+    from mst_tpu.pipeline import embed_stems
+
     fcfg = cfg.features
 
     def embed(stems):
-        feats = extract_mixing_features(stems, fcfg)
-        return enc.apply(enc_variables, stems, feats, train=False)
+        return embed_stems(enc, enc_variables, stems, fcfg)
 
     input_emb = embed(input_stems)
     target_emb = embed(target_stems)

@@ -1,0 +1,34 @@
+"""StyleTransferEvaluator harness (CMA-ES + gradient modes)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from mst_tpu.eval import StyleTransferEvaluator
+
+
+def _toy_embed(x):
+    bands = x.reshape(x.shape[0], 16, -1)
+    return jnp.log(jnp.sqrt(jnp.mean(bands**2, axis=-1)).ravel() + 1e-6)
+
+
+@pytest.mark.parametrize("method", ["gradient", "cma"])
+def test_run_style_transfer(method, rng):
+    inp = rng.standard_normal((2, 8192)).astype(np.float32) * 0.1
+    # target: band-limited, louder version of a different noise
+    tgt = rng.standard_normal((2, 8192)).astype(np.float32) * 0.4
+
+    ev = StyleTransferEvaluator(
+        _toy_embed, sample_rate=44100, method=method,
+        num_steps=30, cma_generations=8, cma_popsize=8,
+    )
+    out, metrics = ev.run_style_transfer(inp, tgt)
+    assert out.shape == inp.shape
+    assert np.isfinite(out).all()
+    assert metrics["final_distance"] <= metrics["initial_distance"] + 1e-6
+    assert "lufs" in metrics["output_quality"]
+    assert set(metrics["effect_params"]) == {
+        "gain_db", "highpass_hz", "lowpass_hz",
+        "comp_threshold_db", "comp_ratio", "reverb_wet",
+    }
