@@ -30,6 +30,12 @@ def get_params(argv=None):
                    help="reuse/save embedding caches here")
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--seed", type=int, default=42)
+    # out-of-domain retrieval (ref: validate_retrieval.py:169-308): raw
+    # mixture queries separated on the fly with SCNet, pool = full dataset
+    p.add_argument("--query_audio_dir", type=str, default=None,
+                   help="directory of mixture files for OOD queries")
+    p.add_argument("--scnet_checkpoint", type=str, default=None)
+    p.add_argument("--top_k", type=int, default=5)
     return p.parse_args(argv)
 
 
@@ -102,6 +108,58 @@ def main(argv=None):
     )
     out = Path(args.output_dir)
     out.mkdir(parents=True, exist_ok=True)
+
+    # ---- out-of-domain: separate raw mixtures on the fly, retrieve from
+    # the full pool (ref: validate_retrieval.py:169-308) ----
+    if args.query_audio_dir:
+        from mst_tpu.data import read_audio
+        from mst_tpu.eval import compute_embeddings, retrieve_top_k
+        from mst_tpu.separation import SCNetSeparator
+
+        sep = SCNetSeparator.from_checkpoint(
+            args.scnet_checkpoint, sample_rate=args.sample_rate
+        )
+        full_pool = build_embedding_cache(
+            enc, enc_vars, dataset, np.arange(len(dataset)), fcfg,
+            segment="first", clip_duration=args.clip_duration,
+            batch_size=args.batch_size,
+        )
+        n = int(args.clip_duration * args.sample_rate)
+        query_stems, query_files = [], []
+        for f in sorted(Path(args.query_audio_dir).iterdir()):
+            if f.suffix.lower() not in (".wav", ".mp3", ".flac"):
+                continue
+            try:
+                mix, _ = read_audio(f, target_sr=args.sample_rate)
+                if mix.shape[0] == 1:
+                    mix = np.repeat(mix, 2, axis=0)
+                stems = sep.separate(mix[:2, :n])
+                if stems.shape[-1] < n:
+                    pad = np.zeros((4, 2, n), np.float32)
+                    pad[..., : stems.shape[-1]] = stems
+                    stems = pad
+                query_stems.append(stems)
+                query_files.append(str(f))
+            except Exception as e:  # noqa: BLE001
+                print(f"OOD query failed for {f}: {e}")
+        if query_stems:
+            q_embs = compute_embeddings(
+                enc, enc_vars, np.stack(query_stems), fcfg, args.batch_size
+            )
+            top, sims = retrieve_top_k(
+                q_embs, full_pool["embeddings"], k=args.top_k
+            )
+            ood = [
+                {
+                    "query": query_files[i],
+                    "retrieved": [full_pool["track_paths"][j] for j in top[i]],
+                    "similarities": sims[i].tolist(),
+                }
+                for i in range(len(query_files))
+            ]
+            metrics["out_of_domain"] = {"num_queries": len(ood)}
+            (out / "retrieval_log.json").write_text(json.dumps(ood, indent=2))
+
     (out / "metrics.json").write_text(json.dumps(metrics, indent=2))
     print(json.dumps(metrics))
 

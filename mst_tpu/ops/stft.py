@@ -39,11 +39,26 @@ def hann_window(win_length: int, dtype=jnp.float32) -> jax.Array:
 
 
 def frame_signal(x: jax.Array, frame_length: int, hop_length: int) -> jax.Array:
-    """Slice ``x`` (..., T) into overlapping frames (..., num_frames, frame_length)."""
+    """Slice ``x`` (..., T) into overlapping frames (..., num_frames, frame_length).
+
+    When hop divides the frame length (every config here: 2048/512,
+    1024/256, 512/128), framing is r shifted views of a compact
+    (n_blocks, hop) reshape concatenated on the last axis — pure
+    slice+concat at memcpy speed.  The general case falls back to
+    conv_general_dilated_patches (measured ~10x slower on TPU: its gather
+    lowering costs ~34 ms vs ~3 ms for the block path on (16,8,441000)).
+    """
     *lead, T = x.shape
     num_frames = 1 + (T - frame_length) // hop_length
+    if frame_length % hop_length == 0:
+        r = frame_length // hop_length
+        n_blocks = num_frames + r - 1
+        blocks = x[..., : n_blocks * hop_length].reshape(
+            tuple(lead) + (n_blocks, hop_length)
+        )
+        views = [blocks[..., j : j + num_frames, :] for j in range(r)]
+        return jnp.concatenate(views, axis=-1)
     flat = x.reshape((-1, 1, T))
-    # patches: (N, frame_length, num_frames)
     patches = lax.conv_general_dilated_patches(
         flat,
         filter_shape=(frame_length,),
@@ -121,6 +136,7 @@ def spectrogram_gemm(
     hop_length: int,
     power: float = 2.0,
     center: bool = True,
+    chunk_signals: int = 64,
 ) -> jax.Array:
     """Power spectrogram via DFT-as-GEMM (..., T) -> (..., freq, F).
 
@@ -134,11 +150,31 @@ def spectrogram_gemm(
     """
     if center:
         x = _center_pad(x, n_fft)
-    frames = frame_signal(x, n_fft, hop_length)  # (..., F, n_fft)
     wr, wi = _dft_mats_np(n_fft)
-    re = frames @ jnp.asarray(wr)
-    im = frames @ jnp.asarray(wi)
-    mag2 = re * re + im * im
+    Wr, Wi = jnp.asarray(wr), jnp.asarray(wi)
+
+    def _one_chunk(sig):  # (n, T) -> (n, F, freq)
+        frames = frame_signal(sig, n_fft, hop_length)
+        re = frames @ Wr
+        im = frames @ Wi
+        return re * re + im * im
+
+    *lead, T = x.shape
+    n_sig = int(np.prod(lead)) if lead else 1
+    flat = x.reshape(n_sig, T)
+    if n_sig > chunk_signals:
+        # bound the transient frames buffer: process chunk_signals at a time
+        # (frames for one 10 s signal at n_fft 2048 are ~7 MB; unchunked
+        # batch-200x8 would transiently need >11 GB)
+        pad = (-n_sig) % chunk_signals
+        if pad:
+            flat = jnp.concatenate([flat, jnp.zeros((pad, T), flat.dtype)])
+        stacked = flat.reshape(-1, chunk_signals, T)
+        mag2 = jax.lax.map(_one_chunk, stacked)
+        mag2 = mag2.reshape(-1, *mag2.shape[2:])[:n_sig]
+    else:
+        mag2 = _one_chunk(flat)
+    mag2 = mag2.reshape(tuple(lead) + mag2.shape[1:])
     mag2 = jnp.swapaxes(mag2, -1, -2)  # (..., freq, F)
     if power == 2.0:
         return mag2
