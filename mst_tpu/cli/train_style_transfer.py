@@ -135,10 +135,13 @@ def main(argv=None):
 
     dataset = StyleTransferDataset(args.separated_path, args.sample_rate,
                                    args.clip_duration, seed=args.seed)
-    train_idx, _ = train_val_split(len(dataset), 0.1, args.seed)
+    train_idx, val_idx = train_val_split(len(dataset), 0.1, args.seed)
     loader = PrefetchLoader(dataset, args.batch_size, style_transfer_collate,
                             indices=train_idx, num_workers=args.num_workers,
                             seed=args.seed)
+    val_loader = PrefetchLoader(dataset, args.batch_size, style_transfer_collate,
+                                indices=val_idx, shuffle=False,
+                                num_workers=args.num_workers)
 
     total_steps = max(len(loader), 1) * args.num_epochs
     state, tcn, gen, tx = create_style_transfer_state(
@@ -158,6 +161,33 @@ def main(argv=None):
                     "encoder_dim": enc_cfg.embed_dim}, indent=2)
     )
 
+    # validation: style loss on held-out pairs with frozen TCN state
+    # (ref: train_style_transfer.py:333-369)
+    from mst_tpu.pipeline import embed_stems
+    from mst_tpu.models.tcn import nlc_to_stems, stems_to_nlc
+    import jax.numpy as jnp
+
+    @jax.jit
+    def val_step(state, batch):
+        def embed(stems):
+            return embed_stems(enc, enc_vars, stems, cfg.features)
+
+        inp, tgt = batch["input_stems"], batch["target_stems"]
+        input_emb = embed(inp)
+        target_emb = embed(tgt)
+        film = gen.apply({"params": state.film_params},
+                         jnp.concatenate([input_emb, target_emb], axis=1),
+                         train=False)
+        out = tcn.apply(
+            {"params": state.tcn_params, "batch_stats": state.tcn_batch_stats},
+            stems_to_nlc(inp), film, train=False,
+        )
+        out_emb = embed(nlc_to_stems(out))
+        o = out_emb / jnp.maximum(jnp.linalg.norm(out_emb, axis=1, keepdims=True), 1e-12)
+        t = target_emb / jnp.maximum(jnp.linalg.norm(target_emb, axis=1, keepdims=True), 1e-12)
+        return jnp.mean(1.0 - jnp.sum(o * t, axis=1))
+
+    best_val = float("inf")
     stop = False
     for epoch in range(args.num_epochs):
         if stop:
@@ -173,11 +203,23 @@ def main(argv=None):
             if args.max_steps and step >= args.max_steps:
                 stop = True
                 break
+        if len(val_idx) > 0:
+            val_losses = [float(val_step(state, b)) for b in val_loader]
+            val_loss = float(np.mean(val_losses)) if val_losses else float("inf")
+            logger.log(int(state.step), val_style_loss=val_loss)
+            print(f"epoch {epoch}: val_style_loss={val_loss:.4f}")
+            if val_loss < best_val:
+                best_val = val_loss
+                save_checkpoint(ckpt_dir / "best", int(state.step), state, cfg,
+                                {"val_style_loss": val_loss, "epoch": epoch})
         save_checkpoint(ckpt_dir / "latest", int(state.step), state, cfg)
 
     save_checkpoint(ckpt_dir / "final", int(state.step), state, cfg)
     logger.close()
-    print(json.dumps({"final_step": int(state.step)}))
+    print(json.dumps({
+        "final_step": int(state.step),
+        "best_val_loss": best_val if best_val < float("inf") else None,
+    }))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,109 @@
+"""End-to-end integration on a synthetic corpus (CPU, tiny config):
+
+corpus -> loader -> stage-1 training -> orbax save/resume -> retrieval
+validation -> per-pair TCN optimization.  The on-TPU equivalent is driven
+through the CLIs (see .claude/skills/verify); this keeps the seams covered
+in CI.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mst_tpu.config import AudioConfig, EncoderConfig, FeatureConfig, Stage1Config, TCNConfig
+from mst_tpu.checkpoints import restore_checkpoint, save_checkpoint
+from mst_tpu.data import (
+    FMABaselineDataset,
+    PrefetchLoader,
+    baseline_collate,
+    make_synthetic_corpus,
+    train_val_split,
+)
+from mst_tpu.eval import build_embedding_cache, evaluate_retrieval_accuracy, optimize_pair
+from mst_tpu.models import MixingStyleEncoder
+from mst_tpu.train import create_stage1_state, make_train_step
+
+SR = 22050
+AUDIO = AudioConfig(sample_rate=SR, n_fft=512, hop_length=128, n_mels=64,
+                    clip_duration=0.5)
+CFG = Stage1Config(
+    encoder=EncoderConfig(audio=AUDIO, split_size=16, overlap=8, embed_dim=32,
+                          feature_dim=64, attn_hidden_dim=16, film_hidden_dim=16),
+    features=FeatureConfig(audio=AUDIO),
+    learning_rate=1e-3,
+    warmup_steps=2,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    return make_synthetic_corpus(tmp_path_factory.mktemp("it"), n_tracks=6,
+                                 duration=2.0, sample_rate=SR)
+
+
+def test_full_loop(corpus, tmp_path):
+    dataset = FMABaselineDataset(corpus, SR, 0.5, num_segments=2, seed=0)
+    train_idx, val_idx = train_val_split(len(dataset), 0.2, seed=0)
+    loader = PrefetchLoader(dataset, batch_size=4, collate_fn=baseline_collate,
+                            indices=train_idx, num_workers=2, seed=0)
+
+    state, enc, disc = create_stage1_state(CFG, jax.random.key(0), total_steps=20)
+    step_fn = make_train_step(CFG, enc, disc, total_steps=20)
+    rng = jax.random.key(1)
+    for _ in range(2):
+        for batch in loader:
+            state, metrics = step_fn(
+                state,
+                {"stems": jnp.asarray(batch["stems"]),
+                 "song_labels": jnp.asarray(batch["song_labels"])},
+                rng,
+            )
+    assert int(state.step) >= 2
+    assert np.isfinite(float(metrics["infonce"]))
+
+    # checkpoint save -> restore -> training continues from restored state
+    ckpt = tmp_path / "ckpt"
+    save_checkpoint(ckpt, int(state.step), state, CFG)
+    restored = restore_checkpoint(ckpt, None, state)
+    assert int(restored.step) == int(state.step)
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(restored.params)[0]),
+        np.asarray(jax.tree.leaves(state.params)[0]),
+    )
+    restored, _ = step_fn(
+        restored,
+        {"stems": jnp.asarray(batch["stems"]),
+         "song_labels": jnp.asarray(batch["song_labels"])},
+        rng,
+    )
+    assert int(restored.step) == int(state.step) + 1
+
+    # retrieval: queries = last 0.5 s, pool = first 0.5 s, all tracks
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    idx = np.arange(len(dataset))
+    queries = build_embedding_cache(enc, variables, dataset, idx, CFG.features,
+                                    segment="last", clip_duration=0.5)
+    pool = build_embedding_cache(enc, variables, dataset, idx, CFG.features,
+                                 segment="first", clip_duration=0.5)
+    metrics = evaluate_retrieval_accuracy(
+        queries["embeddings"], queries["track_indices"],
+        pool["embeddings"], pool["track_indices"],
+    )
+    assert metrics["num_queries"] == 6
+    assert 0.0 <= metrics["top1_accuracy"] <= 1.0
+    assert metrics["top5_accuracy"] >= metrics["top1_accuracy"]
+
+    # per-pair TCN optimization through the trained encoder
+    enc_apply = lambda stems, feats: enc.apply(variables, stems, feats, train=False)
+    inp = dataset[0][0][0]
+    tgt = dataset[3][0][0]
+    out_stems, res = optimize_pair(
+        enc_apply, CFG.features, jnp.asarray(inp), jnp.asarray(tgt),
+        TCNConfig(hidden_channels=8, num_blocks=3, kernel_size=5, use_film=False),
+        num_steps=5, learning_rate=1e-3,
+    )
+    assert out_stems.shape == inp.shape
+    assert res["identity_init_error"] < 0.1
+    assert np.isfinite(res["final_distance"])
