@@ -63,6 +63,9 @@ class EncoderConfig:
     feature_dim: int = 64  # mixing-feature vector length fed to the FiLM MLP
     film_hidden_dim: int = 256
     dropout: float = 0.3
+    #: compute dtype of the conv/dense stack ('float32' | 'bfloat16');
+    #: params stay float32 either way
+    compute_dtype: str = "float32"
 
     @property
     def n_subbands(self) -> int:

@@ -65,9 +65,12 @@ class SubBandCNN(nn.Module):
     def __call__(self, x, gamma1, beta1, gamma2, beta2, train: bool = False):
         # NOTE: ``train`` is positional — nn.vmap drops keyword arguments.
         c = self.cfg
-        x = nn.Conv(c.cnn_mid_channels, (7, 7), padding="SAME", name="conv1")(x)
+        dt = jnp.dtype(c.compute_dtype)
+        x = nn.Conv(c.cnn_mid_channels, (7, 7), padding="SAME", dtype=dt,
+                    name="conv1")(x)
         x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn1"
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=dt, name="bn1",
         )(x)
         if gamma1 is not None:
             x = gamma1[:, None, None, :] * x + beta1[:, None, None, :]
@@ -77,9 +80,11 @@ class SubBandCNN(nn.Module):
         )
         x = nn.Dropout(c.dropout, deterministic=not train)(x)
 
-        x = nn.Conv(c.cnn_out_channels, (7, 7), padding="SAME", name="conv2")(x)
+        x = nn.Conv(c.cnn_out_channels, (7, 7), padding="SAME", dtype=dt,
+                    name="conv2")(x)
         x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn2"
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=dt, name="bn2",
         )(x)
         if gamma2 is not None:
             x = gamma2[:, None, None, :] * x + beta2[:, None, None, :]
@@ -158,6 +163,7 @@ class BandSplitEncoder(nn.Module):
         feats = BandEnsemble(c, name="bands")(
             bands, g1, b1, g2, b2, train
         )  # (B, nb, H', W', C_out)
+        feats = feats.astype(jnp.float32)  # pooling/projection stay f32
 
         # flatten (band, freq, channel) -> feature axis, keep time
         _, nb, Hp, Wp, Cout = feats.shape

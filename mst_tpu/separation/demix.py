@@ -82,7 +82,7 @@ class SCNetSeparator:
         model = SCNet(cfg)
         chunk = int(10.0 * sample_rate)
         dummy = jnp.zeros((1, cfg.audio_channels, chunk))
-        variables = model.init(jax.random.key(0), dummy)
+        variables = jax.jit(model.init)(jax.random.key(0), dummy)
         if checkpoint_dir is not None and Path(str(checkpoint_dir)).exists():
             from mst_tpu.checkpoints import restore_checkpoint
 

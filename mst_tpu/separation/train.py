@@ -35,7 +35,7 @@ def create_separation_state(
 ):
     model = SCNet(cfg)
     dummy = jnp.zeros((1, cfg.audio_channels, chunk_samples))
-    variables = model.init(rng, dummy)
+    variables = jax.jit(model.init)(rng, dummy)
     tx = optax.chain(
         optax.clip_by_global_norm(5.0),
         optax.adamw(warmup_cosine_schedule(learning_rate, total_steps, 1000)),

@@ -63,7 +63,9 @@ def create_stage1_state(
     a = cfg.encoder.audio
     dummy_stems = jnp.zeros((2, 4, 2, a.clip_samples), jnp.float32)
     dummy_feats = jnp.zeros((2, cfg.encoder.feature_dim), jnp.float32)
-    variables = enc.init(rng, dummy_stems, dummy_feats)
+    # jit the init: op-by-op dispatch through a remote TPU link is minutes,
+    # one compiled program is seconds
+    variables = jax.jit(enc.init)(rng, dummy_stems, dummy_feats)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
 

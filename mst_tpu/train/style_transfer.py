@@ -48,10 +48,10 @@ def create_style_transfer_state(
 
     T = min(cfg.encoder.audio.clip_samples, 44100)
     dummy_emb = jnp.zeros((1, cfg.tcn.film_embed_dim))
-    gvars = gen.init(rng, dummy_emb)
+    gvars = jax.jit(gen.init)(rng, dummy_emb)
     film = gen.apply(gvars, dummy_emb)
     x = jnp.zeros((1, T, cfg.tcn.in_channels))
-    tvars = tcn.init(jax.random.fold_in(rng, 1), x, film)
+    tvars = jax.jit(tcn.init)(jax.random.fold_in(rng, 1), x, film)
 
     tx = optax.MultiSteps(
         optax.chain(
