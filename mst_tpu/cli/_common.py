@@ -18,6 +18,10 @@ def add_audio_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--n_fft", type=int, default=1024)
     p.add_argument("--hop_length", type=int, default=256)
     p.add_argument("--n_mels", type=int, default=128)
+    p.add_argument("--mel_method", choices=("rfft", "gemm"), default="gemm",
+                   help="'gemm' = DFT-as-GEMM on the MXU (~2x faster, "
+                        "embedding cosine 0.999999 vs rfft); 'rfft' = "
+                        "bit-parity path")
 
 
 def add_model_args(p: argparse.ArgumentParser) -> None:
@@ -35,6 +39,7 @@ def encoder_config_from_args(args) -> EncoderConfig:
         n_fft=args.n_fft,
         hop_length=args.hop_length,
         n_mels=args.n_mels,
+        mel_method=getattr(args, "mel_method", "gemm"),
     )
     return EncoderConfig(
         audio=audio,
@@ -53,6 +58,7 @@ def feature_config_from_args(args) -> FeatureConfig:
             n_fft=args.n_fft,
             hop_length=args.hop_length,
             n_mels=args.n_mels,
+            mel_method=getattr(args, "mel_method", "gemm"),
         )
     )
 

@@ -38,6 +38,8 @@ def get_params(argv=None):
     p.add_argument("--bitrate", type=str, default="192k")
     p.add_argument("--encode_workers", type=int, default=4)
     p.add_argument("--skip_existing", action="store_true", default=True)
+    p.add_argument("--no_skip_existing", dest="skip_existing",
+                   action="store_false")
     p.add_argument("--shard_index", type=int, default=0)
     p.add_argument("--num_shards", type=int, default=1)
     p.add_argument("--max_tracks", type=int, default=None)
@@ -98,12 +100,18 @@ def main(argv=None):
     sep.chunk_seconds = args.chunk_seconds
     sep.overlap = args.overlap
 
+    ext = ".mp3" if args.format == "mp3" else ".wav"
+
+    def _complete(out_dir: Path) -> bool:
+        return all((out_dir / f"{s}{ext}").exists() for s in STEMS)
+
     done = skipped = failed = 0
     with ThreadPoolExecutor(args.encode_workers) as pool:
-        futures = []
         for f in files:
             out_dir = out_root / f.stem
-            if args.skip_existing and out_dir.exists() and any(out_dir.iterdir()):
+            # only a COMPLETE stem set counts as done — a partial dir from a
+            # crashed/concurrent worker is redone, not skipped forever
+            if args.skip_existing and _complete(out_dir):
                 skipped += 1
                 continue
             lock = TrackLock(out_dir)
@@ -111,16 +119,23 @@ def main(argv=None):
                 skipped += 1
                 continue
             try:
+                if args.skip_existing and _complete(out_dir):
+                    skipped += 1  # double-check under the lock (ref: :398-421)
+                    continue
                 mixture, _ = read_audio(f, target_sr=args.sample_rate)
                 if mixture.shape[0] == 1:
                     mixture = np.repeat(mixture, 2, axis=0)
                 stems = sep.separate(mixture[:2])  # (4, 2, T)
                 out_dir.mkdir(parents=True, exist_ok=True)
-                for i, name in enumerate(STEMS):
-                    futures.append(pool.submit(
-                        _write_stem, out_dir / name, stems[i],
-                        args.sample_rate, args.format, args.bitrate,
-                    ))
+                futures = [
+                    pool.submit(_write_stem, out_dir / name, stems[i],
+                                args.sample_rate, args.format, args.bitrate)
+                    for i, name in enumerate(STEMS)
+                ]
+                # hold the lock until this track's stems are fully written so
+                # concurrent shards never observe a partial track as done
+                for fut in futures:
+                    fut.result()
                 done += 1
                 if done % 10 == 0:
                     print(f"separated {done}/{len(files)}")
@@ -129,8 +144,6 @@ def main(argv=None):
                 print(f"FAILED {f}: {e}")
             finally:
                 lock.release()
-        for fut in futures:
-            fut.result()
     print(f"done: {done} separated, {skipped} skipped, {failed} failed")
 
 

@@ -157,8 +157,23 @@ def main(argv=None):
     song_id_cache = None
     if args.use_adversarial:
         if args.song_id_cache_path and Path(args.song_id_cache_path).exists():
-            z = np.load(args.song_id_cache_path)
-            song_id_cache = z["embeddings"]
+            z = np.load(args.song_id_cache_path, allow_pickle=True)
+            emb = np.asarray(z["embeddings"], np.float32)
+            # Align by track path, not row index: failed tracks are dropped
+            # from the cache, which would shift every later row (the
+            # reference builds the same lookup; ref train.py:170-180).
+            path_to_row = {str(p): i for i, p in enumerate(z["track_paths"])}
+            song_id_cache = np.zeros((len(dataset), emb.shape[1]), np.float32)
+            missing = 0
+            for i, d in enumerate(dataset.track_dirs):
+                row = path_to_row.get(str(d))
+                if row is None:
+                    missing += 1
+                else:
+                    song_id_cache[i] = emb[row]
+            if missing:
+                print(f"WARNING: {missing} tracks missing from song-ID cache "
+                      f"(zero targets)")
         else:
             print("WARNING: no song-ID cache; using zeros (adversarial no-op)")
             song_id_cache = np.zeros((len(dataset), cfg.song_id_dim), np.float32)

@@ -147,6 +147,7 @@ class Stage1Config:
     fixed_grl_lambda: float | None = None
     discriminator_hidden_dim: int = 512
     discriminator_dropout: float = 0.3
+    discriminator_noise: float = 0.0
     song_id_dim: int = 512
     # on-device augmentation chain for negative pairs
     use_augmentation: bool = False

@@ -38,6 +38,7 @@ def read_wav(path: str | Path) -> tuple[np.ndarray, int]:
         raise ValueError(f"{path}: not a RIFF/WAVE file")
     pos = 12
     fmt = None
+    fmt_body = None
     raw = None
     while pos + 8 <= len(data):
         chunk_id = data[pos : pos + 4]
@@ -45,14 +46,19 @@ def read_wav(path: str | Path) -> tuple[np.ndarray, int]:
         body = data[pos + 8 : pos + 8 + size]
         if chunk_id == b"fmt ":
             fmt = struct.unpack("<HHIIHH", body[:16])
+            fmt_body = body
         elif chunk_id == b"data":
             raw = body
         pos += 8 + size + (size & 1)
     if fmt is None or raw is None:
         raise ValueError(f"{path}: missing fmt/data chunk")
     audio_format, n_ch, sr, _, _, bits = fmt
-    if audio_format == 0xFFFE and len(raw) >= 0:  # WAVE_FORMAT_EXTENSIBLE
-        audio_format = 1 if bits in (16, 24, 32) else 3
+    if audio_format == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE: real code is in the
+        # SubFormat GUID at offset 24 of the fmt body (first 2 bytes, LE)
+        if fmt_body is not None and len(fmt_body) >= 26:
+            audio_format = struct.unpack("<H", fmt_body[24:26])[0]
+        else:
+            audio_format = 1 if bits in (8, 16, 24) else 3
     if audio_format == 1:  # PCM
         if bits == 16:
             x = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0

@@ -60,6 +60,17 @@ class PrefetchLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put_checked(obj) -> bool:
+            # never block indefinitely: the consumer may have stopped while
+            # the queue is full (e.g. --max_steps breaking mid-epoch)
+            while not stop.is_set():
+                try:
+                    q.put(obj, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
             with ThreadPoolExecutor(self.num_workers) as pool:
                 for chunk in self._batches():
@@ -69,9 +80,9 @@ class PrefetchLoader:
                     for item in pool.map(self._get, chunk):
                         if item is not None:
                             items.append(item)
-                    if items:
-                        q.put(self.collate_fn(items))
-                q.put(None)
+                    if items and not put_checked(self.collate_fn(items)):
+                        return
+                put_checked(None)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()

@@ -42,27 +42,38 @@ def build_embedding_cache(enc, variables, dataset, indices, fcfg: FeatureConfig,
 
     ``segment``: 'first' (pool) or 'last' (queries) 10 s of each track
     (ref: validate_retrieval.py:92-150)."""
+    from mst_tpu.data.datasets import load_stems
+
+    track_dirs = getattr(dataset, "track_dirs", None)
     stems_list, track_indices, track_paths = [], [], []
+    n = int(clip_duration * dataset.sr)
     for idx in indices:
         try:
-            item = dataset[int(idx)]
+            if track_dirs is not None:
+                # deterministic protocol: slice the FULL track's first/last
+                # clip_duration seconds (ref: validate_retrieval.py:104-112).
+                # Going through dataset[idx] would yield a *random crop*,
+                # making 'first' vs 'last' a no-op and the cache
+                # nondeterministic.
+                stems = load_stems(track_dirs[int(idx)], dataset.sr)
+            else:
+                item = dataset[int(idx)]
+                stems = item["stems"] if isinstance(item, dict) else item[0]
+                if stems.ndim == 4:  # (num_segments, 4, 2, T)
+                    stems = stems[0]
         except Exception as e:  # per-item tolerance (ref: 177-203)
             print(f"[embedding_cache] skipping {idx}: {e}")
             continue
-        stems = item["stems"] if isinstance(item, dict) else item[0]
-        if stems.ndim == 4:  # (num_segments, 4, 2, T) -> first segment
-            stems = stems[0]
-        n = int(clip_duration * dataset.sr)
         if stems.shape[-1] >= n:
             stems = stems[..., :n] if segment == "first" else stems[..., -n:]
         else:
             pad = np.zeros(stems.shape[:-1] + (n,), np.float32)
             pad[..., : stems.shape[-1]] = stems
             stems = pad
-        stems_list.append(stems)
+        stems_list.append(np.ascontiguousarray(stems))
         track_indices.append(int(idx))
         track_paths.append(
-            str(getattr(dataset, "track_dirs", ["?"] * len(dataset))[int(idx)])
+            str(track_dirs[int(idx)]) if track_dirs is not None else "?"
         )
     embs = compute_embeddings(
         enc, variables, np.stack(stems_list), fcfg, batch_size

@@ -59,7 +59,11 @@ def info_nce_loss(
     neg_sum = jnp.sum(ex * neg_mask, axis=1)
 
     has_pos = jnp.sum(pos_mask, axis=1) > 0
-    per_anchor = -jnp.log(pos_sum / (pos_sum + neg_sum + 1e-8))
+    # where-grad trap: -log(0) for positive-less anchors would produce NaN
+    # cotangents even though the forward masks them, so substitute a safe
+    # numerator BEFORE the log (the reference's Python loop skips them).
+    safe_pos = jnp.where(has_pos, pos_sum, 1.0)
+    per_anchor = -jnp.log(safe_pos / (safe_pos + neg_sum + 1e-8))
     per_anchor = jnp.where(has_pos, per_anchor, 0.0)
     loss_sum = jnp.sum(per_anchor)
     n_valid = jnp.sum(has_pos)

@@ -36,9 +36,11 @@ def _load():
     global _lib, _load_failed
     if _lib is not None or _load_failed:
         return _lib
-    if not _LIB.exists() and not _build():
-        _load_failed = True
-        return None
+    stale = _LIB.exists() and _SRC.stat().st_mtime > _LIB.stat().st_mtime
+    if (not _LIB.exists() or stale) and not _build():
+        if not _LIB.exists():
+            _load_failed = True
+            return None
     try:
         lib = ctypes.CDLL(str(_LIB))
         lib.wav_info.restype = ctypes.c_int

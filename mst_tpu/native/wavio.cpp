@@ -38,7 +38,15 @@ bool parse(const uint8_t* data, size_t len, FmtChunk* fmt,
       memcpy(&fmt->channels, body + 2, 2);
       memcpy(&fmt->sample_rate, body + 4, 4);
       memcpy(&fmt->bits, body + 14, 2);
-      if (fmt->format == 0xFFFE) fmt->format = (fmt->bits >= 32) ? 3 : 1;
+      if (fmt->format == 0xFFFE) {
+        // WAVE_FORMAT_EXTENSIBLE: real format code = first 2 bytes of the
+        // SubFormat GUID at offset 24
+        if (size >= 26) {
+          memcpy(&fmt->format, body + 24, 2);
+        } else {
+          fmt->format = (fmt->bits == 32) ? 3 : 1;
+        }
+      }
       have_fmt = true;
     } else if (memcmp(id, "data", 4) == 0) {
       *pcm = body;

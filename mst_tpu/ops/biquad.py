@@ -120,8 +120,13 @@ def _biquad_assoc_scan(x: jax.Array, b0, b1, b2, a1, a2) -> jax.Array:
     def combine(left, right):
         A1, v1 = left
         A2, v2 = right
-        Anew = jnp.einsum("tij,tjk->tik", A2, A1)
-        vnew = jnp.einsum("tij,t...j->t...i", A2, v1) + v2
+        # HIGHEST precision: TPU f32 matmuls default to bf16 passes, and
+        # cumulative products of near-unit-circle 2x2 matrices amplify bf16
+        # rounding exponentially (NaN/Inf IRs observed on v5e otherwise)
+        Anew = jnp.einsum("tij,tjk->tik", A2, A1,
+                          precision=jax.lax.Precision.HIGHEST)
+        vnew = jnp.einsum("tij,t...j->t...i", A2, v1,
+                          precision=jax.lax.Precision.HIGHEST) + v2
         return Anew, vnew
 
     _, s = lax.associative_scan(combine, (Ae, v), axis=0)

@@ -119,9 +119,19 @@ def make_train_step(
 
     def loss_fn(params, disc_params, batch_stats, batch, rng, step):
         stems = batch["stems"]
+        song_labels = batch["song_labels"]
         if augment_fn is not None:
+            # Negative-pair augmentation (ref README.md:108-123 / proposal —
+            # the reference *defines* AudioAugmenter but never wires it,
+            # SURVEY §2.1): augmented copies are same-song/different-mix, so
+            # they get fresh unique labels and act as negatives to
+            # everything, including their own source clip.
             rng, aug_rng = jax.random.split(rng)
-            stems = augment_fn(aug_rng, stems)
+            aug = augment_fn(aug_rng, stems)
+            stems = jnp.concatenate([stems, aug], axis=0)
+            n = song_labels.shape[0]
+            aug_labels = jnp.max(song_labels) + 1 + jnp.arange(n, dtype=song_labels.dtype)
+            song_labels = jnp.concatenate([song_labels, aug_labels])
         if features_on_device:
             emb, updates = embed_stems(
                 enc, {"params": params, "batch_stats": batch_stats},
@@ -135,7 +145,7 @@ def make_train_step(
                 rngs={"dropout": rng}, mutable=["batch_stats"],
             )
 
-        loss_nce = info_nce_loss(emb, batch["song_labels"], cfg.temperature)
+        loss_nce = info_nce_loss(emb, song_labels, cfg.temperature)
         metrics = {"infonce": loss_nce}
         total = loss_nce
 
@@ -152,12 +162,28 @@ def make_train_step(
                 cfg.initial_adversarial_lambda,
                 cfg.adversarial_lambda,
             )
+            target_song_id = batch["song_id_emb"]
+            if augment_fn is not None:
+                # augmented copies keep their source clip's song identity
+                target_song_id = jnp.concatenate([target_song_id] * 2, axis=0)
             rev = gradient_reversal(emb, grl_lam)
+            if cfg.discriminator_noise > 0.0:
+                rev = rev + cfg.discriminator_noise * jax.random.normal(
+                    jax.random.fold_in(rng, 3), rev.shape
+                )
             pred = disc.apply(
                 {"params": disc_params}, rev, train=True,
                 rngs={"dropout": jax.random.fold_in(rng, 2)},
             )
-            adv_loss = jnp.mean((pred - batch["song_id_emb"]) ** 2)
+            # 1 - cosine(normalized pred, normalized target)
+            # (ref: train.py:196-202)
+            p = pred / jnp.maximum(
+                jnp.linalg.norm(pred, axis=1, keepdims=True), 1e-12
+            )
+            t = target_song_id / jnp.maximum(
+                jnp.linalg.norm(target_song_id, axis=1, keepdims=True), 1e-12
+            )
+            adv_loss = jnp.mean(1.0 - jnp.sum(p * t, axis=1))
             total = total + adv_lam * adv_loss
             metrics["adversarial"] = adv_loss
             metrics["grl_lambda"] = grl_lam

@@ -53,10 +53,14 @@ def create_style_transfer_state(
     x = jnp.zeros((1, T, cfg.tcn.in_channels))
     tvars = jax.jit(tcn.init)(jax.random.fold_in(rng, 1), x, film)
 
+    # MultiSteps' inner optimizer sees one step per *applied* update, so the
+    # cosine horizon is in optimizer steps, not micro-batches (otherwise the
+    # LR would only traverse 1/grad_accum of the schedule).
+    opt_steps = max(1, -(-total_steps // cfg.grad_accum_steps))
     tx = optax.MultiSteps(
         optax.chain(
             optax.clip_by_global_norm(cfg.grad_clip),
-            optax.adamw(cosine_schedule(cfg.learning_rate, total_steps)),
+            optax.adamw(cosine_schedule(cfg.learning_rate, opt_steps)),
         ),
         every_k_schedule=cfg.grad_accum_steps,
     )
