@@ -3,6 +3,7 @@ from mst_tpu.eval.transfer_eval import StyleTransferEvaluator
 from mst_tpu.eval.audio_quality import audio_quality_report
 from mst_tpu.eval.retrieval import (
     compute_embeddings,
+    compute_track_embedding,
     build_embedding_cache,
     retrieve_top_k,
     evaluate_retrieval_accuracy,
@@ -16,6 +17,7 @@ __all__ = [
     "StyleTransferEvaluator",
     "audio_quality_report",
     "compute_embeddings",
+    "compute_track_embedding",
     "build_embedding_cache",
     "retrieve_top_k",
     "evaluate_retrieval_accuracy",

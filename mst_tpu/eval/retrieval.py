@@ -85,6 +85,27 @@ def build_embedding_cache(enc, variables, dataset, indices, fcfg: FeatureConfig,
     }
 
 
+def compute_track_embedding(enc, variables, stems: np.ndarray,
+                            fcfg: FeatureConfig, clip_duration: float = 10.0,
+                            sample_rate: int = 44100, max_segments: int = 8,
+                            batch_size: int = 8) -> np.ndarray:
+    """Track-level embedding: mean of consecutive non-overlapping segment
+    embeddings (ref: validation_utils.py:106-148).  stems (4, 2, T) -> (D,)."""
+    n = int(clip_duration * sample_rate)
+    T = stems.shape[-1]
+    n_seg = min(max(T // n, 1), max_segments)
+    segs = []
+    for i in range(n_seg):
+        seg = stems[..., i * n : i * n + n]
+        if seg.shape[-1] < n:
+            pad = np.zeros(stems.shape[:-1] + (n,), np.float32)
+            pad[..., : seg.shape[-1]] = seg
+            seg = pad
+        segs.append(seg)
+    embs = compute_embeddings(enc, variables, np.stack(segs), fcfg, batch_size)
+    return embs.mean(axis=0)
+
+
 def retrieve_top_k(query_embs: np.ndarray, pool_embs: np.ndarray, k: int = 5):
     """Cosine top-k for every query: returns (indices (Q, k), sims (Q, k))."""
     q = query_embs / (np.linalg.norm(query_embs, axis=1, keepdims=True) + 1e-12)

@@ -4,8 +4,16 @@ All ops are pure jnp functions (differentiable, jit/vmap/shard-friendly).
 Hot paths have Pallas variants in ``mst_tpu.ops.pallas_kernels``.
 """
 
-from mst_tpu.ops.stft import hann_window, frame_signal, stft, spectrogram, istft
+from mst_tpu.ops.stft import (
+    hann_window,
+    frame_signal,
+    stft,
+    spectrogram,
+    spectrogram_gemm,
+    istft,
+)
 from mst_tpu.ops.mel import mel_filterbank, mel_spectrogram, log_mel_spectrogram
+from mst_tpu.ops.cqt import cqt
 from mst_tpu.ops.biquad import (
     butter_sos,
     sosfilt_scan,
@@ -19,7 +27,9 @@ __all__ = [
     "frame_signal",
     "stft",
     "spectrogram",
+    "spectrogram_gemm",
     "istft",
+    "cqt",
     "mel_filterbank",
     "mel_spectrogram",
     "log_mel_spectrogram",

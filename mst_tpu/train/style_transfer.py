@@ -205,8 +205,13 @@ def apply_style_transfer(
 
     initial = cos_dist(input_emb, target_emb)
     final = cos_dist(out_emb, target_emb)
+    # improvement ratio is meaningless when input already matches the
+    # target (initial ~ 0); report 0 instead of a 1e8-scaled artifact
+    improvement = jnp.where(
+        initial > 1e-4, (initial - final) / jnp.maximum(initial, 1e-8), 0.0
+    )
     return out_stems, {
         "initial_distance": initial,
         "final_distance": final,
-        "improvement": (initial - final) / jnp.maximum(initial, 1e-8),
+        "improvement": improvement,
     }
