@@ -21,6 +21,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -87,6 +88,120 @@ def logmel_from_stft(
         interpret=interpret,
     )(re, im, fbp)
     return out[:rows, :n_mels]
+
+
+def _fused_logmel_kernel(blocks_hbm, wr_ref, wi_ref, fb_ref, out_ref,
+                         scratch, sem, *, tile_f, r_ov, hop, window, eps):
+    rsig = pl.program_id(0)
+    i = pl.program_id(1)
+    # overlap framing needs tile_f + r_ov - 1 blocks; BlockSpec tiles can't
+    # overlap, so DMA the (sublane-aligned) window from HBM manually
+    dma = pltpu.make_async_copy(
+        blocks_hbm.at[rsig, pl.ds(i * tile_f, window), :],
+        scratch,
+        sem,
+    )
+    dma.start()
+    dma.wait()
+    # frames @ W as a sum of r_ov block-GEMMs over hop-sized K slices —
+    # Mosaic cannot concat shifted sublane slices into one frames tensor
+    re = jnp.zeros((tile_f, wr_ref.shape[1]), jnp.float32)
+    im = jnp.zeros((tile_f, wi_ref.shape[1]), jnp.float32)
+    for j in range(r_ov):
+        part = scratch[j : j + tile_f, :].astype(wr_ref.dtype)
+        re += jnp.dot(part, wr_ref[j * hop : (j + 1) * hop, :],
+                      preferred_element_type=jnp.float32)
+        im += jnp.dot(part, wi_ref[j * hop : (j + 1) * hop, :],
+                      preferred_element_type=jnp.float32)
+    power = re * re + im * im
+    out_ref[0] = jnp.log(
+        jnp.dot(power, fb_ref[:], preferred_element_type=jnp.float32) + eps
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sample_rate", "n_fft", "hop_length", "n_mels", "eps",
+                     "interpret"),
+)
+def fused_logmel(
+    x: jax.Array,
+    sample_rate: int,
+    n_fft: int,
+    hop_length: int,
+    n_mels: int,
+    eps: float = 1e-10,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fully-fused log-mel front-end: (..., T) -> (..., n_mels, frames).
+
+    One Pallas kernel does framing (as shifted views of a compact
+    (n_blocks, hop) layout DMA'd into VMEM), the windowed rDFT as bf16 MXU
+    GEMMs, |.|^2, the mel projection and the log — the (frames, n_fft)
+    frame tensor and the (frames, freq) spectrogram never touch HBM
+    (~1.8 GB of traffic per 16-clip batch on the XLA path).
+
+    Requires hop | n_fft (all shipped configs).  torchaudio-parity up to
+    bf16 GEMM rounding (same rounding XLA's default f32 matmul uses).
+    """
+    from mst_tpu.ops.mel import mel_filterbank
+    from mst_tpu.ops.stft import _center_pad, _dft_mats_np
+
+    if n_fft % hop_length != 0:
+        raise ValueError("fused_logmel requires hop | n_fft")
+    r_ov = n_fft // hop_length
+
+    *lead, T = x.shape
+    xp = _center_pad(x, n_fft)
+    Tp = xp.shape[-1]
+    n_frames = 1 + (Tp - n_fft) // hop_length
+
+    TILE_F = 256
+    n_tiles = -(-n_frames // TILE_F)
+    window = _round_up(TILE_F + r_ov - 1, 8)  # DMA slices must align to 8
+    n_blocks_needed = (n_tiles - 1) * TILE_F + window
+
+    R = int(np.prod(lead)) if lead else 1
+    flat = xp.reshape(R, Tp)
+    need = n_blocks_needed * hop_length
+    if need > Tp:
+        flat = jnp.pad(flat, ((0, 0), (0, need - Tp)))
+    blocks = flat[:, :need].reshape(R, n_blocks_needed, hop_length)
+
+    wr, wi = _dft_mats_np(n_fft)
+    freq = n_fft // 2 + 1
+    freq_p = _round_up(freq, 128)
+    mels_p = _round_up(n_mels, 128)
+    Wr = jnp.zeros((n_fft, freq_p), jnp.bfloat16).at[:, :freq].set(
+        jnp.asarray(wr, jnp.bfloat16))
+    Wi = jnp.zeros((n_fft, freq_p), jnp.bfloat16).at[:, :freq].set(
+        jnp.asarray(wi, jnp.bfloat16))
+    fbm = mel_filterbank(freq, n_mels, sample_rate)
+    fb = jnp.zeros((freq_p, mels_p), jnp.float32).at[:freq, :n_mels].set(fbm)
+
+    out = pl.pallas_call(
+        functools.partial(_fused_logmel_kernel, tile_f=TILE_F, r_ov=r_ov,
+                          hop=hop_length, window=window, eps=eps),
+        grid=(R, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # blocks stay in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TILE_F, mels_p), lambda r, i: (r, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R, n_tiles * TILE_F, mels_p),
+                                       jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((window, hop_length), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(blocks, Wr, Wi, fb)
+
+    out = out[:, :n_frames, :n_mels].reshape(tuple(lead) + (n_frames, n_mels))
+    return jnp.swapaxes(out, -1, -2)
 
 
 def log_mel_frontend_pallas(
