@@ -184,7 +184,7 @@ def fused_logmel(
                           hop=hop_length, window=window, eps=eps),
         grid=(R, n_tiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # blocks stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # blocks stay in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),

@@ -10,7 +10,8 @@ from mst_tpu.ops.pallas_kernels import fused_logmel
 
 
 @pytest.mark.parametrize("n_fft,hop,n_mels", [(512, 128, 64), (2048, 512, 80)])
-def test_fused_logmel_matches_reference(rng, n_fft, hop, n_mels):
+def test_fused_logmel_matches_reference(n_fft, hop, n_mels):
+    rng = np.random.default_rng(2024)  # self-seeded: order-independent
     x = rng.standard_normal((2, 3, 44100)).astype(np.float32) * 0.3
     ref = np.asarray(log_mel_spectrogram(jnp.asarray(x), 44100, n_fft, hop, n_mels))
     got = np.asarray(
