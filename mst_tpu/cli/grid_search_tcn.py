@@ -57,6 +57,9 @@ def main(argv=None):
         s1state = restore_checkpoint(args.checkpoint, None, s1state)
     enc_vars = {"params": s1state.params, "batch_stats": s1state.batch_stats}
     enc_apply = lambda stems, feats: enc.apply(enc_vars, stems, feats, train=False)
+    # fused embedding: one shared mel for features + encoder front-end
+    from mst_tpu.pipeline import embed_stems
+    embed_fn = lambda stems: embed_stems(enc, enc_vars, stems, fcfg)
 
     dataset = StyleTransferDataset(args.separated_path, args.sample_rate,
                                    args.clip_duration, seed=args.seed)
@@ -80,7 +83,8 @@ def main(argv=None):
         improvements = []
         for pi, (inp, tgt) in enumerate(pairs):
             _, res = optimize_pair(enc_apply, fcfg, inp, tgt, tcn_cfg,
-                                   steps, lr, rng=jax.random.key(args.seed + pi))
+                                   steps, lr, rng=jax.random.key(args.seed + pi),
+                                   embed_fn=embed_fn)
             improvements.append(res["improvement"])
         rec = {
             "config": {"lr": lr, "steps": steps, "hidden": hidden, "blocks": blocks},

@@ -53,6 +53,9 @@ def main(argv=None):
         s1state = restore_checkpoint(args.checkpoint, None, s1state)
     enc_vars = {"params": s1state.params, "batch_stats": s1state.batch_stats}
     enc_apply = lambda stems, feats: enc.apply(enc_vars, stems, feats, train=False)
+    # fused embedding: one shared mel for features + encoder front-end
+    from mst_tpu.pipeline import embed_stems
+    embed_fn = lambda stems: embed_stems(enc, enc_vars, stems, fcfg)
 
     pairs = json.loads(Path(args.pairs_json).read_text())["pairs"]
     out = Path(args.output_dir)
@@ -67,7 +70,7 @@ def main(argv=None):
             TCNConfig(hidden_channels=16, num_blocks=8, kernel_size=5,
                       use_film=False),
             args.num_steps, args.learning_rate,
-            rng=jax.random.key(args.seed + i),
+            rng=jax.random.key(args.seed + i), embed_fn=embed_fn,
         )
         res.pop("losses")
         res.update({"pair": i, "similarity": pair["similarity"]})

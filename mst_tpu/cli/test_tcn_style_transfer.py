@@ -67,6 +67,9 @@ def main(argv=None):
         enc_vars = {"params": s1state.params, "batch_stats": s1state.batch_stats}
 
     enc_apply = lambda stems, feats: enc.apply(enc_vars, stems, feats, train=False)
+    # fused embedding: one shared mel for features + encoder front-end
+    from mst_tpu.pipeline import embed_stems
+    embed_fn = lambda stems: embed_stems(enc, enc_vars, stems, fcfg)
     tcn_cfg = TCNConfig(hidden_channels=args.hidden_channels,
                         num_blocks=args.num_blocks,
                         kernel_size=args.kernel_size, use_film=False)
@@ -83,7 +86,7 @@ def main(argv=None):
         out_stems, res = optimize_pair(
             enc_apply, fcfg, jnp.asarray(inp), jnp.asarray(tgt),
             tcn_cfg, args.num_steps, args.learning_rate,
-            rng=jax.random.key(args.seed + p),
+            rng=jax.random.key(args.seed + p), embed_fn=embed_fn,
         )
         res.pop("losses")
         res["pair"] = p

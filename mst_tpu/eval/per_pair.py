@@ -36,11 +36,14 @@ def optimize_pair(
     num_steps: int = 200,
     learning_rate: float = 1e-3,
     rng: jax.Array | None = None,
+    embed_fn: Callable | None = None,
 ):
     """Returns (output_stems, result dict with loss trajectory + distances).
 
     ``enc_apply(stems, feats) -> (B, D)`` is the frozen encoder forward.
-    Stems are (4, 2, T) single-pair arrays.
+    Pass ``embed_fn(stems) -> (B, D)`` instead to supply a fused embedding
+    (e.g. ``pipeline.embed_stems`` sharing one mel between features and
+    front-end).  Stems are (4, 2, T) single-pair arrays.
     """
     tcn_cfg = tcn_cfg or TCNConfig(
         hidden_channels=16, num_blocks=8, kernel_size=5, use_film=False
@@ -54,9 +57,12 @@ def optimize_pair(
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
 
-    def embed(stems):
-        feats = extract_mixing_features(stems, fcfg)
-        return enc_apply(stems, feats)
+    if embed_fn is not None:
+        embed = embed_fn
+    else:
+        def embed(stems):
+            feats = extract_mixing_features(stems, fcfg)
+            return enc_apply(stems, feats)
 
     target_emb = jax.lax.stop_gradient(embed(target_stems[None]))
     input_emb = embed(input_stems[None])

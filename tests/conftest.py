@@ -24,8 +24,12 @@ import numpy as np
 import pytest
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture(scope="module")
 def rng():
+    """Module-scoped fresh generator: draws within a module are stable in
+    file order, and no state leaks across modules (session scope made test
+    data depend on which other modules ran first — three order-dependent
+    failures came from that)."""
     return np.random.default_rng(42)
 
 
