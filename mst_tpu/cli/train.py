@@ -121,6 +121,14 @@ def main(argv=None):
         use_augmentation=args.use_augmentation,
     )
 
+    if args.num_segments < 2 and not args.use_augmentation:
+        # InfoNCE needs positives: >=2 segments per song, or augmented
+        # same-song negatives creating contrast (otherwise loss is 0)
+        raise SystemExit(
+            "--num_segments must be >= 2 (or enable --use_augmentation): "
+            "with one segment per song no anchor has a positive pair"
+        )
+
     dataset = FMABaselineDataset(
         args.separated_path, args.sample_rate, args.clip_duration,
         args.num_segments, seed=args.seed,
