@@ -65,6 +65,31 @@ def _dynamics(audio: jax.Array) -> jax.Array:
     return jnp.concatenate([rms, crest, loud, loud], axis=-1)
 
 
+def _tilt(curve: jax.Array, n_bins: int) -> jax.Array:
+    """Pearson corr(bin_index, curve) over the last axis; 0 when flat
+    (ref guards std < 1e-6 with a hard switch, mixing_utils.py:187-191 —
+    implemented as a smooth-safe where so gradients stay finite)."""
+    bins = jnp.arange(n_bins, dtype=curve.dtype)
+    bins_c = bins - bins.mean()
+    c = curve - jnp.mean(curve, axis=-1, keepdims=True)
+    # torch.corrcoef uses the unbiased estimator; the (n-1) factors cancel.
+    cov = jnp.sum(bins_c * c, axis=-1)
+    c_std = jnp.sqrt(jnp.sum(c**2, axis=-1))
+    b_std = jnp.sqrt(jnp.sum(bins_c**2))
+    # ref threshold is on torch.std (unbiased): std = c_std / sqrt(n-1)
+    flat_mask = (c_std / jnp.sqrt(jnp.asarray(n_bins - 1.0))) < 1e-6
+    safe_denom = jnp.where(flat_mask, 1.0, c_std * b_std)
+    return jnp.where(flat_mask, 0.0, cov / safe_denom)
+
+
+def _flatness(mel_pow: jax.Array) -> jax.Array:
+    """geometric/arithmetic mean over the full (channel, mel, time) tensor
+    (ref: mixing_utils.py:195)."""
+    return jnp.exp(jnp.mean(jnp.log(mel_pow + 1e-10), axis=(-3, -2, -1))) / (
+        jnp.mean(mel_pow, axis=(-3, -2, -1)) + 1e-10
+    )
+
+
 def _spectral(mel_pow: jax.Array, n_mels: int) -> jax.Array:
     """(..., 2, n_mels, F) mel power -> (..., 5) (ref: mixing_utils.py:141-200)."""
     mel_db = 10.0 * jnp.log10(mel_pow + 1e-10)
@@ -76,27 +101,34 @@ def _spectral(mel_pow: jax.Array, n_mels: int) -> jax.Array:
     mid_e = jnp.mean(mel_energy[..., lo:hi], axis=-1)
     high_e = jnp.mean(mel_energy[..., hi:], axis=-1)
 
-    # spectral tilt = Pearson corr(bin_index, mel_energy); 0 when flat
-    # (ref guards std < 1e-6 with a hard switch, mixing_utils.py:187-191 —
-    # implemented as a smooth-safe where so gradients stay finite).
-    bins = jnp.arange(n_mels, dtype=mel_energy.dtype)
-    bins_c = bins - bins.mean()
-    e_mean = jnp.mean(mel_energy, axis=-1, keepdims=True)
-    e_c = mel_energy - e_mean
-    # torch.corrcoef uses the unbiased estimator; the (n-1) factors cancel.
-    cov = jnp.sum(bins_c * e_c, axis=-1)
-    e_std = jnp.sqrt(jnp.sum(e_c**2, axis=-1))
-    b_std = jnp.sqrt(jnp.sum(bins_c**2))
-    # ref threshold is on torch.std (unbiased): std = e_std / sqrt(n-1)
-    flat_mask = (e_std / jnp.sqrt(jnp.asarray(n_mels - 1.0))) < 1e-6
-    safe_denom = jnp.where(flat_mask, 1.0, e_std * b_std)
-    tilt = jnp.where(flat_mask, 0.0, cov / safe_denom)
-
-    # flatness over the full (channel, mel, time) tensor (ref: 195)
-    flatness = jnp.exp(jnp.mean(jnp.log(mel_pow + 1e-10), axis=(-3, -2, -1))) / (
-        jnp.mean(mel_pow, axis=(-3, -2, -1)) + 1e-10
-    )
+    tilt = _tilt(mel_energy, n_mels)
+    flatness = _flatness(mel_pow)
     return jnp.stack([low_e, mid_e, high_e, tilt, flatness], axis=-1)
+
+
+def _spectral_detailed(mel_pow: jax.Array, n_mels: int, n_bins: int) -> jax.Array:
+    """Detailed mode (ref: mixing_utils.py:202-236): subsampled mel-dB curve
+    (linear interpolation, align_corners) + tilt over the curve + flatness
+    -> (..., n_bins + 2)."""
+    mel_db = 10.0 * jnp.log10(mel_pow + 1e-10)
+    mel_energy = jnp.mean(mel_db, axis=(-3, -1))  # (..., n_mels)
+
+    if n_bins >= n_mels:
+        curve = mel_energy
+        n_bins = n_mels
+    else:
+        # torch F.interpolate(mode='linear', align_corners=True) semantics
+        pos = jnp.linspace(0.0, n_mels - 1.0, n_bins)
+        lo = jnp.floor(pos).astype(jnp.int32)
+        hi = jnp.minimum(lo + 1, n_mels - 1)
+        w = (pos - lo).astype(mel_energy.dtype)
+        curve = mel_energy[..., lo] * (1.0 - w) + mel_energy[..., hi] * w
+
+    tilt = _tilt(curve, n_bins)
+    flatness = _flatness(mel_pow)
+    return jnp.concatenate(
+        [curve, tilt[..., None], flatness[..., None]], axis=-1
+    )
 
 
 def _stereo(audio: jax.Array) -> jax.Array:
@@ -152,10 +184,6 @@ def extract_mixing_features(
     """
     cfg = cfg or FeatureConfig()
     a = cfg.audio
-    if cfg.use_detailed_spectral:
-        raise NotImplementedError(
-            "detailed spectral mode pending; reference default is 5-feature mode"
-        )
 
     if mel_pow is None:
         # shared mel power for all stems/channels: (..., 4, 2, n_mels, F)
@@ -168,7 +196,10 @@ def extract_mixing_features(
     mix_loud = _loudness(mixture)  # (...,)
 
     dyn = _dynamics(stems)  # (..., 4, 6)
-    spec = _spectral(mel_pow, a.n_mels)  # (..., 4, 5)
+    if cfg.use_detailed_spectral:
+        spec = _spectral_detailed(mel_pow, a.n_mels, cfg.n_spectral_bins)
+    else:
+        spec = _spectral(mel_pow, a.n_mels)  # (..., 4, 5)
     ster = _stereo(stems)  # (..., 4, 3)
     rel = _loudness(stems) - mix_loud[..., None]  # (..., 4)
     mask = _masking(jnp.mean(mel_pow, axis=-3))  # (..., 4)

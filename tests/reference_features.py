@@ -15,11 +15,14 @@ STEMS = ("vocals", "bass", "drums", "other")
 
 
 class RefFeatureExtractor:
-    def __init__(self, sample_rate=44100, n_fft=1024, hop_length=256, n_mels=128):
+    def __init__(self, sample_rate=44100, n_fft=1024, hop_length=256, n_mels=128,
+                 use_detailed_spectral=False, n_spectral_bins=32):
         self.sr = sample_rate
         self.n_fft = n_fft
         self.hop = hop_length
         self.n_mels = n_mels
+        self.use_detailed_spectral = use_detailed_spectral
+        self.n_spectral_bins = n_spectral_bins
         self.fb = torch.from_numpy(
             _mel_fb_np(n_fft // 2 + 1, n_mels, sample_rate)
         )
@@ -46,6 +49,27 @@ class RefFeatureExtractor:
         mel_spec = self.mel(audio)
         mel_db = 10 * torch.log10(mel_spec + 1e-10)
         mel_energy = mel_db.mean(dim=(0, 2))
+        if self.use_detailed_spectral:
+            # ref: mixing_utils.py:202-236
+            if self.n_spectral_bins >= self.n_mels:
+                curve = mel_energy
+                nb = self.n_mels
+            else:
+                curve = torch.nn.functional.interpolate(
+                    mel_energy.unsqueeze(0).unsqueeze(0),
+                    size=self.n_spectral_bins, mode="linear",
+                    align_corners=True,
+                ).squeeze()
+                nb = self.n_spectral_bins
+            bins = torch.arange(nb, dtype=torch.float32)
+            if curve.std() < 1e-6:
+                tilt = torch.tensor(0.0)
+            else:
+                tilt = torch.corrcoef(torch.stack([bins, curve]))[0, 1]
+            flat = torch.exp(torch.mean(torch.log(mel_spec + 1e-10))) / (
+                torch.mean(mel_spec) + 1e-10
+            )
+            return torch.cat([curve, torch.tensor([tilt, flat])])
         lo = self.n_mels // 4
         hi = self.n_mels // 4 * 3
         low_e = mel_energy[:lo].mean()

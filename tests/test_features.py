@@ -50,6 +50,26 @@ def test_features_match_reference(stems, cfgname):
     np.testing.assert_allclose(got, expected, atol=2e-3, rtol=1e-3)
 
 
+def test_features_detailed_spectral_matches_reference(stems):
+    """Detailed mode: n_spectral_bins curve + tilt + flatness
+    (ref: mixing_utils.py:202-236)."""
+    audio = AudioConfig(n_fft=1024, hop_length=256, n_mels=128)
+    cfg = FeatureConfig(audio=audio, use_detailed_spectral=True,
+                        n_spectral_bins=32)
+    assert cfg.feature_dim == 4 * (6 + 34 + 3) + 8  # 180
+
+    ref = RefFeatureExtractor(44100, 1024, 256, 128,
+                              use_detailed_spectral=True, n_spectral_bins=32)
+    stems_dict = {name: torch.from_numpy(stems[i]) for i, name in enumerate(STEMS)}
+    expected = ref.extract(stems_dict)
+
+    got = np.asarray(extract_mixing_features(jnp.asarray(stems), cfg))
+    assert got.shape == (cfg.feature_dim,)
+    # curve entries are dB values down to ~-100; near the log floor the jnp
+    # and torch STFT accumulation orders differ by ~0.1 dB
+    np.testing.assert_allclose(got, expected, atol=0.2, rtol=1e-3)
+
+
 def test_features_batched(stems, rng):
     cfg = FeatureConfig(audio=AudioConfig(n_fft=1024, hop_length=256, n_mels=128))
     batch = np.stack([stems, _make_stems(rng, scale=(0.1, 0.9, 0.2, 0.6))])
