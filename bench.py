@@ -18,7 +18,7 @@ import time
 import numpy as np
 
 
-def _measure_tpu(batch_size: int = 16, iters: int = 10) -> float:
+def _measure_tpu(batch_size: int = 64, iters: int = 10) -> float:
     import jax
     import jax.numpy as jnp
 
