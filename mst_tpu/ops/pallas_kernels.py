@@ -91,24 +91,40 @@ def logmel_from_stft(
 
 
 def _fused_logmel_kernel(blocks_hbm, wr_ref, wi_ref, fb_ref, out_ref,
-                         scratch, sem, *, tile_f, r_ov, hop, window, eps):
-    rsig = pl.program_id(0)
-    i = pl.program_id(1)
-    # overlap framing needs tile_f + r_ov - 1 blocks; BlockSpec tiles can't
-    # overlap, so DMA the (sublane-aligned) window from HBM manually
-    dma = pltpu.make_async_copy(
-        blocks_hbm.at[rsig, pl.ds(i * tile_f, window), :],
-        scratch,
-        sem,
-    )
-    dma.start()
-    dma.wait()
+                         scratch, sems, *, tile_f, r_ov, hop, window,
+                         n_tiles, eps):
+    # 1-D grid over (signal, frame-tile) pairs so the DMA for step g+1 can
+    # prefetch while step g computes (double buffering across grid steps —
+    # TPU grid iterations run sequentially in one kernel invocation).
+    g = pl.program_id(0)
+    total = pl.num_programs(0)
+
+    def dma_for(gidx, slot):
+        rsig = gidx // n_tiles
+        i = gidx % n_tiles
+        return pltpu.make_async_copy(
+            blocks_hbm.at[rsig, pl.ds(i * tile_f, window), :],
+            scratch.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(g == 0)
+    def _():
+        dma_for(0, 0).start()
+
+    @pl.when(g + 1 < total)
+    def _():
+        dma_for(g + 1, (g + 1) % 2).start()
+
+    dma_for(g, g % 2).wait()
+    buf = scratch[g % 2]
+
     # frames @ W as a sum of r_ov block-GEMMs over hop-sized K slices —
     # Mosaic cannot concat shifted sublane slices into one frames tensor
     re = jnp.zeros((tile_f, wr_ref.shape[1]), jnp.float32)
     im = jnp.zeros((tile_f, wi_ref.shape[1]), jnp.float32)
     for j in range(r_ov):
-        part = scratch[j : j + tile_f, :].astype(wr_ref.dtype)
+        part = buf[j : j + tile_f, :].astype(wr_ref.dtype)
         re += jnp.dot(part, wr_ref[j * hop : (j + 1) * hop, :],
                       preferred_element_type=jnp.float32)
         im += jnp.dot(part, wi_ref[j * hop : (j + 1) * hop, :],
@@ -181,21 +197,25 @@ def fused_logmel(
 
     out = pl.pallas_call(
         functools.partial(_fused_logmel_kernel, tile_f=TILE_F, r_ov=r_ov,
-                          hop=hop_length, window=window, eps=eps),
-        grid=(R, n_tiles),
+                          hop=hop_length, window=window, n_tiles=n_tiles,
+                          eps=eps),
+        grid=(R * n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # blocks stay in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, TILE_F, mels_p), lambda r, i: (r, i, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (1, TILE_F, mels_p),
+            lambda g: (g // n_tiles, g % n_tiles, 0),
+            memory_space=pltpu.VMEM,
+        ),
         out_shape=jax.ShapeDtypeStruct((R, n_tiles * TILE_F, mels_p),
                                        jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((window, hop_length), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, window, hop_length), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(blocks, Wr, Wi, fb)
