@@ -55,7 +55,7 @@ def _measure_tpu(batch_size: int = 64, iters: int = 10) -> float:
     return batch_size * iters / dt
 
 
-def _measure_cpu_reference(n_clips: int = 2) -> float:
+def _measure_cpu_reference(n_clips: int = 6) -> float:
     import torch
 
     from tests.torch_encoder import TorchMixingStyleEncoder

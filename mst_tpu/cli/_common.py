@@ -21,7 +21,10 @@ def add_audio_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--mel_method", choices=("rfft", "gemm"), default="gemm",
                    help="'gemm' = DFT-as-GEMM on the MXU (~2x faster, "
                         "embedding cosine 0.999999 vs rfft); 'rfft' = "
-                        "bit-parity path")
+                        "bit-parity path. CLIs default to 'gemm' (TPU "
+                        "perf); the library AudioConfig defaults to 'rfft' "
+                        "(torch parity) — an intentional split, see "
+                        "config.py:AudioConfig.mel_method")
 
 
 def add_model_args(p: argparse.ArgumentParser) -> None:

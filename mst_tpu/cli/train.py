@@ -60,6 +60,11 @@ def get_params(argv=None):
     p.add_argument("--weights_only", action="store_true")
     p.add_argument("--max_steps", type=int, default=None,
                    help="stop after N steps (smoke runs)")
+    p.add_argument("--infonce_impl", choices=("spmd", "shard_map"),
+                   default="spmd",
+                   help="'spmd': global (N,N) InfoNCE, XLA inserts the "
+                        "all-gather; 'shard_map': explicit per-chip row "
+                        "blocks via info_nce_loss(axis_name='data')")
     return p.parse_args(argv)
 
 
@@ -193,8 +198,9 @@ def main(argv=None):
 
     mesh = make_mesh()
     print(f"mesh: {mesh.devices.shape} devices on axes {mesh.axis_names}")
-    step_fn = make_train_step(cfg, enc, disc, total_steps, augment_fn=augment_fn)
-    eval_fn = make_eval_step(cfg, enc)
+    step_fn = make_train_step(cfg, enc, disc, total_steps, augment_fn=augment_fn,
+                              mesh=mesh, infonce_impl=args.infonce_impl)
+    eval_fn = make_eval_step(cfg, enc, mesh=mesh)
 
     logger = MetricsLogger(args.log_dir, "stage1")
     rng = jax.random.key(args.seed + 1)

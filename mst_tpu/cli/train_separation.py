@@ -21,7 +21,14 @@ import numpy as np
 def get_params(argv=None):
     p = argparse.ArgumentParser(description="SCNet separation training (TPU)")
     p.add_argument("--musdb_root", type=str, default=None)
-    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--synthetic", action="store_true",
+                   help="tiny on-disk synthetic corpus (integration tests)")
+    p.add_argument("--on_device_synth", action="store_true",
+                   help="synthesize stems INSIDE the jitted step "
+                        "(separation/synth.py): infinite fresh data, zero "
+                        "host involvement — the round-2 demonstration recipe")
+    p.add_argument("--eval_interval", type=int, default=500)
+    p.add_argument("--save_interval", type=int, default=1000)
     p.add_argument("--sample_rate", type=int, default=44100)
     p.add_argument("--chunk_seconds", type=float, default=10.0)
     p.add_argument("--batch_size", type=int, default=2)
@@ -62,6 +69,9 @@ def main(argv=None):
         make_separation_train_step,
         si_sdr,
     )
+
+    if args.on_device_synth:
+        return _train_on_device_synth(args)
 
     if args.synthetic:
         root = Path(args.checkpoint_dir) / "synthetic_corpus"
@@ -126,6 +136,77 @@ def main(argv=None):
 
     logger.close()
     print(json.dumps({"final_step": int(state.step)}))
+
+
+def _train_on_device_synth(args):
+    """Fully on-device training: procedural stems generated inside the jit
+    (separation/synth.py), held-out SI-SDR eval on a disjoint key stream,
+    best-by-SI-SDR .npz artifact committed under --checkpoint_dir."""
+    import jax
+
+    from mst_tpu.checkpoints.npz_io import save_params_npz
+    from mst_tpu.cli._common import MetricsLogger
+    from mst_tpu.separation import SCNetConfig
+    from mst_tpu.separation.train import (
+        create_separation_state,
+        make_synth_eval_fn,
+        make_synth_train_step,
+    )
+
+    cfg = SCNetConfig(
+        n_fft=args.n_fft, hop_length=args.hop_length,
+        dims=tuple(args.dims), num_dplayers=args.num_dplayers,
+    )
+    chunk = int(args.chunk_seconds * args.sample_rate)
+    total_steps = args.max_steps or 30000
+
+    state, model, tx = create_separation_state(
+        cfg, jax.random.key(args.seed), total_steps, args.learning_rate, chunk
+    )
+    step_fn = make_synth_train_step(model, tx, args.batch_size, chunk,
+                                    float(args.sample_rate),
+                                    augment=not args.no_augment)
+    eval_fn = make_synth_eval_fn(model, max(args.batch_size // 2, 1), chunk,
+                                 float(args.sample_rate))
+
+    logger = MetricsLogger(args.log_dir, "scnet_synth")
+    rng = jax.random.key(args.seed + 1)
+    eval_key = jax.random.key(args.seed + 777_000)  # disjoint from training
+    ckpt_dir = Path(args.checkpoint_dir).absolute()
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    best_sdr = -1e9
+
+    for _ in range(total_steps):
+        state, metrics = step_fn(state, rng)
+        step = int(state.step)
+        if step % args.log_interval == 0:
+            loss = float(metrics["loss"])
+            logger.log(step, loss=loss)
+            print(f"step {step}/{total_steps}: loss={loss:.4f}", flush=True)
+        if step % args.eval_interval == 0 or step == total_steps:
+            r = eval_fn(state.params, jax.random.fold_in(eval_key, step))
+            sdr = float(r["si_sdr"])
+            per = [round(float(x), 2) for x in r["si_sdr_per_stem"]]
+            base = float(r["input_si_sdr"])
+            logger.log(step, val_si_sdr=sdr, input_si_sdr=base)
+            print(f"step {step}: held-out SI-SDR {sdr:.2f} dB "
+                  f"(per-stem {per}, mixture baseline {base:.2f})", flush=True)
+            if sdr > best_sdr:
+                best_sdr = sdr
+                save_params_npz(ckpt_dir / "scnet_synth_best.npz", state.params)
+                (ckpt_dir / "scnet_synth_best.json").write_text(json.dumps({
+                    "step": step, "si_sdr": sdr, "si_sdr_per_stem": per,
+                    "input_si_sdr": base, "chunk_seconds": args.chunk_seconds,
+                    "sample_rate": args.sample_rate,
+                    "config": {"n_fft": cfg.n_fft, "hop_length": cfg.hop_length,
+                               "dims": list(cfg.dims),
+                               "num_dplayers": cfg.num_dplayers},
+                }, indent=2))
+        if step % args.save_interval == 0:
+            save_params_npz(ckpt_dir / "scnet_synth_last.npz", state.params)
+
+    logger.close()
+    print(json.dumps({"final_step": int(state.step), "best_si_sdr": best_sdr}))
 
 
 if __name__ == "__main__":

@@ -31,7 +31,12 @@ class AudioConfig:
     hop_length: int = 256
     n_mels: int = 128
     #: 'rfft' = bit-parity path; 'gemm' = DFT-as-GEMM on the MXU (~2x faster
-    #: on TPU, bf16 noise at the log floor; ops.stft.spectrogram_gemm)
+    #: on TPU, bf16 noise at the log floor; ops.stft.spectrogram_gemm).
+    #: INTENTIONAL default split: the *library* defaults to 'rfft' so that
+    #: programmatic use (and the golden-parity test suite) is bit-faithful to
+    #: torch.stft, while every *CLI* defaults to 'gemm' (cli/_common.py:21)
+    #: because end users run on TPU where gemm is ~2x faster at embedding
+    #: cosine 0.999999.  Pass --mel_method rfft to any CLI for the parity path.
     mel_method: str = "rfft"
 
     @property

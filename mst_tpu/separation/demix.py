@@ -77,20 +77,49 @@ class SCNetSeparator:
 
     @classmethod
     def from_checkpoint(cls, checkpoint_dir: str | None, sample_rate: int = 44100,
-                        cfg: SCNetConfig | None = None) -> "SCNetSeparator":
+                        cfg: SCNetConfig | None = None,
+                        chunk_seconds: float = 10.0) -> "SCNetSeparator":
+        """``checkpoint_dir``: an orbax directory, a ``.npz`` params file
+        (checkpoints/npz_io.py — the shipped trained artifact format), or
+        None for untrained weights.  For a ``.npz`` with a sibling ``.json``
+        metadata file (written by cli/train_separation.py), the SCNet config
+        and training chunk length are read from it so the separator runs at
+        the resolution it was trained at."""
+        meta = None
+        path = Path(str(checkpoint_dir)) if checkpoint_dir is not None else None
+        if path is not None and path.suffix == ".npz":
+            meta_path = path.with_suffix(".json")
+            if cfg is None and meta_path.exists():
+                import json
+
+                meta = json.loads(meta_path.read_text())
+                mc = meta.get("config", {})
+                cfg = SCNetConfig(
+                    n_fft=mc.get("n_fft", 4096),
+                    hop_length=mc.get("hop_length", 1024),
+                    dims=tuple(mc.get("dims", (4, 32, 64, 128))),
+                    num_dplayers=mc.get("num_dplayers", 6),
+                )
+                chunk_seconds = meta.get("chunk_seconds", chunk_seconds)
         cfg = cfg or SCNetConfig()
         model = SCNet(cfg)
-        chunk = int(10.0 * sample_rate)
+        chunk = int(chunk_seconds * sample_rate)
         dummy = jnp.zeros((1, cfg.audio_channels, chunk))
-        variables = jax.jit(model.init)(jax.random.key(0), dummy)
-        if checkpoint_dir is not None and Path(str(checkpoint_dir)).exists():
-            from mst_tpu.checkpoints import restore_checkpoint
+        if path is not None and path.suffix == ".npz" and path.exists():
+            from mst_tpu.checkpoints.npz_io import load_params_npz
 
-            variables = restore_checkpoint(checkpoint_dir, None, variables)
-            print(f"loaded SCNet weights from {checkpoint_dir}")
+            variables = {"params": load_params_npz(path)}
+            print(f"loaded SCNet weights from {path}")
         else:
-            print("WARNING: SCNet running with untrained weights")
-        return cls(model, variables, sample_rate)
+            variables = jax.jit(model.init)(jax.random.key(0), dummy)
+            if path is not None and path.exists():
+                from mst_tpu.checkpoints import restore_checkpoint
+
+                variables = restore_checkpoint(checkpoint_dir, None, variables)
+                print(f"loaded SCNet weights from {checkpoint_dir}")
+            else:
+                print("WARNING: SCNet running with untrained weights")
+        return cls(model, variables, sample_rate, chunk_seconds=chunk_seconds)
 
     def separate(self, mixture: np.ndarray) -> np.ndarray:
         return demix_track(

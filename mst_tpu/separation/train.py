@@ -101,6 +101,64 @@ def make_separation_train_step(model: SCNet, tx, augment: bool = True):
     return jax.jit(train_step)
 
 
+def make_synth_train_step(model: SCNet, tx, batch_size: int,
+                          chunk_samples: int, sample_rate: float,
+                          augment: bool = True):
+    """Train step with data synthesized *inside* the jit (separation/synth.py):
+    the generator + forward + backward compile to one program, so the host
+    (1 CPU core here) never touches training data."""
+    from mst_tpu.separation.synth import synth_batch
+
+    def loss_fn(params, stems):
+        mixture = jnp.sum(stems, axis=1)
+        pred = model.apply({"params": params}, mixture)
+        loss = separation_loss(pred, stems)
+        return loss, {"loss": loss}
+
+    def train_step(state: SeparationState, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        k_data, k_aug = jax.random.split(rng)
+        stems = synth_batch(k_data, batch_size, chunk_samples, sample_rate)
+        if augment:
+            stems = shuffle_stems_augment(k_aug, stems)
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, stems
+        )
+        upd, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, upd)
+        return (
+            state.replace(params=new_params, opt_state=new_opt, step=state.step + 1),
+            metrics,
+        )
+
+    return jax.jit(train_step)
+
+
+def make_synth_eval_fn(model: SCNet, batch_size: int, chunk_samples: int,
+                       sample_rate: float):
+    """Held-out SI-SDR eval on fresh synthetic mixes (keys disjoint from the
+    training stream by construction — caller passes a dedicated eval key).
+
+    Returns jitted fn(params, key) -> {si_sdr, si_sdr_per_stem (4,),
+    input_si_sdr} where input_si_sdr is the mixture-as-prediction baseline
+    (the number an identity 'separator' scores)."""
+    from mst_tpu.separation.synth import synth_batch
+
+    def eval_fn(params, key):
+        stems = synth_batch(key, batch_size, chunk_samples, sample_rate)
+        mixture = jnp.sum(stems, axis=1)
+        pred = model.apply({"params": params}, mixture)
+        per = si_sdr(pred, stems)  # (B, 4, 2)
+        base = si_sdr(jnp.broadcast_to(mixture[:, None], stems.shape), stems)
+        return {
+            "si_sdr": jnp.mean(per),
+            "si_sdr_per_stem": jnp.mean(per, axis=(0, 2)),
+            "input_si_sdr": jnp.mean(base),
+        }
+
+    return jax.jit(eval_fn)
+
+
 def si_sdr(pred: jax.Array, target: jax.Array, eps: float = 1e-8) -> jax.Array:
     """Scale-invariant SDR in dB over the last axis (eval metric)."""
     t = target - jnp.mean(target, axis=-1, keepdims=True)

@@ -104,6 +104,8 @@ def make_train_step(
     total_steps: int,
     features_on_device: bool = True,
     augment_fn=None,
+    mesh=None,
+    infonce_impl: str = "spmd",
 ):
     """Build the jitted train step.
 
@@ -112,10 +114,38 @@ def make_train_step(
       song_labels  (N,) int32
       features     (N, 64)  -- only if features_on_device=False
       song_id_emb  (N, song_id_dim) -- only for adversarial training
-    """
+
+    ``mesh``: when given, the step is jitted with *explicit* shardings —
+    state replicated, batch sharded on the 'data' axis — instead of relying
+    on SPMD propagation from the input batch (multi-host-safe, and the
+    memory layout is pinned rather than accident-prone).
+
+    ``infonce_impl``: 'spmd' (default) computes the global (N, N) InfoNCE
+    inside the jit and lets XLA insert the all-gather from the shardings;
+    'shard_map' (requires ``mesh``) calls ``info_nce_loss(axis_name='data')``
+    under ``jax.shard_map`` so each chip computes only its own
+    (N/chips, N) row block and psums the reduction — the explicit-collective
+    variant.  Both are parity-tested (tests/test_train_stage1.py)."""
     tx = _make_optimizer(cfg, total_steps)
 
     from mst_tpu.pipeline import embed_stems
+
+    if infonce_impl == "shard_map":
+        if mesh is None:
+            raise ValueError("infonce_impl='shard_map' requires a mesh")
+        from jax.sharding import PartitionSpec as P
+
+        def nce(emb, labels):
+            return jax.shard_map(
+                partial(info_nce_loss, temperature=cfg.temperature,
+                        axis_name="data"),
+                mesh=mesh, in_specs=(P("data"), P("data")), out_specs=P(),
+            )(emb, labels)
+    elif infonce_impl == "spmd":
+        def nce(emb, labels):
+            return info_nce_loss(emb, labels, cfg.temperature)
+    else:
+        raise ValueError(f"unknown infonce_impl {infonce_impl!r}")
 
     def loss_fn(params, disc_params, batch_stats, batch, rng, step):
         stems = batch["stems"]
@@ -145,7 +175,7 @@ def make_train_step(
                 rngs={"dropout": rng}, mutable=["batch_stats"],
             )
 
-        loss_nce = info_nce_loss(emb, song_labels, cfg.temperature)
+        loss_nce = nce(emb, song_labels)
         metrics = {"infonce": loss_nce}
         total = loss_nce
 
@@ -225,11 +255,22 @@ def make_train_step(
             )
         return new_state, metrics
 
-    return jax.jit(train_step)
+    if mesh is None:
+        return jax.jit(train_step)
+    repl, data = _state_and_batch_shardings(mesh)
+    return jax.jit(train_step, in_shardings=(repl, data, repl),
+                   out_shardings=(repl, repl))
+
+
+def _state_and_batch_shardings(mesh):
+    """(replicated, batch-on-'data') NamedShardings used as pytree prefixes."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return NamedSharding(mesh, P()), NamedSharding(mesh, P("data"))
 
 
 def make_eval_step(cfg: Stage1Config, enc: MixingStyleEncoder,
-                   features_on_device: bool = True):
+                   features_on_device: bool = True, mesh=None):
     """Validation forward (no grads, running BN stats; ref: train.py:388-427)."""
 
     from mst_tpu.pipeline import embed_stems
@@ -244,4 +285,8 @@ def make_eval_step(cfg: Stage1Config, enc: MixingStyleEncoder,
         loss = info_nce_loss(emb, batch["song_labels"], cfg.temperature)
         return loss, emb
 
-    return jax.jit(eval_step)
+    if mesh is None:
+        return jax.jit(eval_step)
+    repl, data = _state_and_batch_shardings(mesh)
+    return jax.jit(eval_step, in_shardings=(repl, data),
+                   out_shardings=(repl, data))
