@@ -1,43 +1,139 @@
-"""Benchmark: mixing-style embedding pipeline throughput (clips/sec/chip).
+"""Benchmark: the BASELINE.json north-star pipeline on one TPU chip.
 
-Workload = BASELINE.json configs 1+2 fused: batched 10 s stereo 4-stem clips
--> on-device 64-d mixing features -> band-split FiLM encoder -> embedding,
-one jitted program on the TPU (trained config: 2048/512/80, embed 512).
+Headline (BASELINE.json metric: "Triplets/sec/chip (separation+mel+encoder
+pipeline)"; configs 3+1+2 fused): batched 10 s stereo mixtures -> SCNet
+4-stem separation -> on-device 64-d mixing features -> band-split FiLM
+encoder -> embedding, ONE jitted program.  vs_baseline = the identical
+program on the host CPU (the reference's own torch stack cannot run here —
+torchaudio/librosa absent — so XLA-CPU is the conservative stand-in; it is
+*faster* than the reference's per-clip torch/scipy loop, understating the
+ratio).
 
-Baseline = the reference pipeline on CPU (torch replica with identical
-architecture + reference-formula feature extraction), measured in-process.
+Extras inside the same JSON line:
+- embed_clips_per_sec / embed_vs_torch_cpu: configs 1+2 only (features +
+  encoder), vs the in-process torch replica of the reference architecture —
+  directly comparable to BENCH_r01.
+- stage1_train_clips_per_sec: config 4 — full contrastive train step with
+  on-device augmentation (anchors/positives/negatives never leave HBM).
+- e2e_transfer_ms: config 5 — FiLM-TCN style-transfer forward latency for
+  one 10 s pair, embeddings included.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extras"}.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
 
+SR = 44100
+T10 = 441000  # 10 s
 
-def _measure_tpu(batch_size: int = 64, iters: int = 10) -> float:
+
+def _scnet_cfg():
+    from mst_tpu.separation import SCNetConfig
+
+    # the round-2 trained-artifact config (artifacts/scnet_synth)
+    return SCNetConfig(n_fft=2048, hop_length=512)
+
+
+def _build_full_pipeline(batch_size: int):
+    """mixture (B, 2, T) -> embedding (B, D): separation+features+encoder."""
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
 
+    from mst_tpu.config import TRAINED_ENCODER, FeatureConfig
+    from mst_tpu.models import MixingStyleEncoder
+    from mst_tpu.pipeline import embed_stems
+    from mst_tpu.separation import SCNet
+
+    audio = dataclasses.replace(TRAINED_ENCODER.audio, mel_method="gemm")
+    cfg = dataclasses.replace(TRAINED_ENCODER, audio=audio)
+    fcfg = FeatureConfig(audio=audio)
+    enc = MixingStyleEncoder(cfg)
+    scnet = SCNet(_scnet_cfg())
+
+    rng = np.random.default_rng(0)
+    mix = jnp.asarray(
+        rng.standard_normal((batch_size, 2, T10), dtype=np.float32) * 0.1)
+    enc_vars = enc.init(jax.random.key(0),
+                        jnp.zeros((1, 4, 2, T10)), jnp.zeros((1, cfg.feature_dim)))
+    scnet_vars = jax.jit(scnet.init)(jax.random.key(1), mix[:1])
+
+    @jax.jit
+    def pipeline(mix):
+        stems = scnet.apply(scnet_vars, mix)          # (B, 4, 2, T)
+        return embed_stems(enc, enc_vars, stems, fcfg)  # (B, D)
+
+    return pipeline, mix
+
+
+def _throughput(fn, arg, batch: int, iters: int) -> float:
+    import jax
+
+    out = fn(arg)
+    jax.block_until_ready(out)  # compile + warmup
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(arg)
+    jax.block_until_ready(out)
+    return batch * iters / (time.perf_counter() - t0)
+
+
+def _measure_full_tpu(batch_size: int = 8, iters: int = 10) -> float:
+    pipeline, mix = _build_full_pipeline(batch_size)
+    return _throughput(pipeline, mix, batch_size, iters)
+
+
+def _measure_full_cpu() -> float:
+    """Same program, host CPU, separate process (this one is pinned to TPU)."""
+    env = dict(os.environ)
+    env.setdefault("PYTHONPATH", "")
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--cpu-probe"],
+        capture_output=True, text=True, env=env, timeout=3600,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("CPU_CLIPS_PER_SEC"):
+            return float(line.split()[1])
+    raise RuntimeError(f"cpu probe failed: {out.stdout[-500:]} {out.stderr[-500:]}")
+
+
+def _cpu_probe():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    pipeline, mix = _build_full_pipeline(1)
+    cps = _throughput(pipeline, mix, 1, 2)
+    print(f"CPU_CLIPS_PER_SEC {cps:.6f}", flush=True)
+
+
+def _measure_embed_tpu(batch_size: int = 64, iters: int = 10) -> float:
+    """Configs 1+2 (features + encoder), comparable to BENCH_r01."""
     import dataclasses
+
+    import jax
+    import jax.numpy as jnp
 
     from mst_tpu.config import TRAINED_ENCODER, FeatureConfig
     from mst_tpu.models import MixingStyleEncoder
     from mst_tpu.pipeline import embed_stems
 
-    # GEMM-DFT mel front-end: 1.7x pipeline speedup at embedding cosine
-    # 0.999999 vs the rfft parity path (measured on v5e)
     audio = dataclasses.replace(TRAINED_ENCODER.audio, mel_method="gemm")
     cfg = dataclasses.replace(TRAINED_ENCODER, audio=audio)
     fcfg = FeatureConfig(audio=audio)
     model = MixingStyleEncoder(cfg)
 
-    T = cfg.audio.clip_samples
     rng = np.random.default_rng(0)
-    stems = jnp.asarray(rng.standard_normal((batch_size, 4, 2, T), dtype=np.float32) * 0.1)
+    stems = jnp.asarray(
+        rng.standard_normal((batch_size, 4, 2, T10), dtype=np.float32) * 0.1)
     variables = model.init(jax.random.key(0), stems[:1],
                            jnp.zeros((1, cfg.feature_dim)))
 
@@ -45,17 +141,11 @@ def _measure_tpu(batch_size: int = 64, iters: int = 10) -> float:
     def pipeline(stems):
         return embed_stems(model, variables, stems, fcfg)
 
-    out = pipeline(stems)
-    out.block_until_ready()  # compile + warmup
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = pipeline(stems)
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
-    return batch_size * iters / dt
+    return _throughput(pipeline, stems, batch_size, iters)
 
 
-def _measure_cpu_reference(n_clips: int = 6) -> float:
+def _measure_embed_cpu_torch(n_clips: int = 6) -> float:
+    """In-process torch replica of the reference architecture (CPU)."""
     import torch
 
     from tests.torch_encoder import TorchMixingStyleEncoder
@@ -66,39 +156,127 @@ def _measure_cpu_reference(n_clips: int = 6) -> float:
         n_fft=2048, hop=512, n_mels=80, split_size=16, overlap=8,
         embed_dim=512, feature_dim=64, clip_seconds=10.0,
     ).eval()
-    fx = RefFeatureExtractor(44100, 2048, 512, 80)
+    fx = RefFeatureExtractor(SR, 2048, 512, 80)
 
-    T = 441000
     rng = np.random.default_rng(0)
-    clips = [rng.standard_normal((4, 2, T)).astype(np.float32) * 0.1
+    clips = [rng.standard_normal((4, 2, T10)).astype(np.float32) * 0.1
              for _ in range(n_clips)]
 
-    # warmup one clip
-    with torch.no_grad():
-        c = torch.from_numpy(clips[0])
-        feats = fx.extract({s: c[i] for i, s in enumerate(STEMS)})
-        tmodel(c.unsqueeze(0), torch.from_numpy(feats).unsqueeze(0))
-
-    t0 = time.perf_counter()
-    with torch.no_grad():
-        for clip in clips:
+    def run(clip):
+        with torch.no_grad():
             c = torch.from_numpy(clip)
             feats = fx.extract({s: c[i] for i, s in enumerate(STEMS)})
             tmodel(c.unsqueeze(0), torch.from_numpy(feats).unsqueeze(0))
-    dt = time.perf_counter() - t0
-    return n_clips / dt
+
+    run(clips[0])  # warmup
+    t0 = time.perf_counter()
+    for clip in clips:
+        run(clip)
+    return n_clips / (time.perf_counter() - t0)
+
+
+def _measure_stage1_train(batch: int = 8, segments: int = 2,
+                          iters: int = 5) -> float:
+    """Config 4: contrastive train step + on-device augmentation, clips/s."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from mst_tpu.augment import AugmentConfig, augment_stems
+    from mst_tpu.config import TRAINED_ENCODER, FeatureConfig, Stage1Config
+    from mst_tpu.train import create_stage1_state, make_train_step
+
+    audio = dataclasses.replace(TRAINED_ENCODER.audio, mel_method="gemm")
+    cfg = Stage1Config(
+        encoder=dataclasses.replace(TRAINED_ENCODER, audio=audio),
+        features=FeatureConfig(audio=audio),
+        use_adversarial=False,
+    )
+    state, enc, _ = create_stage1_state(cfg, jax.random.key(0), 1000)
+    aug = AugmentConfig()
+    step_fn = make_train_step(
+        cfg, enc, None, 1000,
+        augment_fn=lambda k, s: augment_stems(k, s, aug),
+    )
+    n = batch * segments
+    rng = np.random.default_rng(0)
+    batch_d = {
+        "stems": jnp.asarray(
+            rng.standard_normal((n, 4, 2, T10), dtype=np.float32) * 0.1),
+        "song_labels": jnp.asarray(np.repeat(np.arange(batch), segments)),
+    }
+    key = jax.random.key(1)
+    state, m = step_fn(state, batch_d, key)
+    jax.block_until_ready(m["total"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = step_fn(state, batch_d, key)
+    jax.block_until_ready(m["total"])
+    # each step consumes n clips and augments them to 2n contrastive views
+    return n * iters / (time.perf_counter() - t0)
+
+
+def _measure_e2e_transfer(iters: int = 10) -> float:
+    """Config 5: one-pair FiLM-TCN style transfer forward latency (ms)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mst_tpu.config import StyleTransferConfig, TRAINED_ENCODER, FeatureConfig, TCNConfig
+    from mst_tpu.models import MixingStyleEncoder
+    from mst_tpu.train import create_style_transfer_state, apply_style_transfer
+
+    cfg = StyleTransferConfig(
+        encoder=TRAINED_ENCODER,
+        features=FeatureConfig(audio=TRAINED_ENCODER.audio),
+        tcn=TCNConfig(hidden_channels=64, num_blocks=14, kernel_size=15,
+                      use_film=True, film_embed_dim=2 * TRAINED_ENCODER.embed_dim),
+    )
+    enc = MixingStyleEncoder(cfg.encoder)
+    enc_vars = enc.init(jax.random.key(0), jnp.zeros((1, 4, 2, T10)),
+                        jnp.zeros((1, cfg.encoder.feature_dim)))
+    state, tcn, gen, _ = create_style_transfer_state(cfg, jax.random.key(1), 10)
+
+    rng = np.random.default_rng(0)
+    inp = jnp.asarray(rng.standard_normal((1, 4, 2, T10), dtype=np.float32) * 0.1)
+    tgt = jnp.asarray(rng.standard_normal((1, 4, 2, T10), dtype=np.float32) * 0.1)
+
+    @jax.jit
+    def transfer(inp, tgt):
+        out, metrics = apply_style_transfer(
+            cfg, enc, enc_vars, tcn, gen, state, inp, tgt)
+        return out, metrics["final_distance"]
+
+    out, d = transfer(inp, tgt)
+    jax.block_until_ready(d)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out, d = transfer(inp, tgt)
+    jax.block_until_ready(d)
+    return (time.perf_counter() - t0) / iters * 1e3
 
 
 def main():
-    tpu_cps = _measure_tpu()
-    cpu_cps = _measure_cpu_reference()
+    full_tpu = _measure_full_tpu()
+    extras = {
+        "embed_clips_per_sec": round(_measure_embed_tpu(), 3),
+        "stage1_train_clips_per_sec": round(_measure_stage1_train(), 3),
+        "e2e_transfer_ms": round(_measure_e2e_transfer(), 3),
+    }
+    extras["embed_vs_torch_cpu"] = round(
+        extras["embed_clips_per_sec"] / _measure_embed_cpu_torch(), 2)
+    full_cpu = _measure_full_cpu()
     print(json.dumps({
-        "metric": "embed_pipeline_clips_per_sec_per_chip",
-        "value": round(tpu_cps, 3),
+        "metric": "full_pipeline_clips_per_sec_per_chip",
+        "value": round(full_tpu, 3),
         "unit": "clips/s",
-        "vs_baseline": round(tpu_cps / cpu_cps, 2),
+        "vs_baseline": round(full_tpu / full_cpu, 2),
+        "extras": extras,
     }))
 
 
 if __name__ == "__main__":
-    main()
+    if "--cpu-probe" in sys.argv:
+        _cpu_probe()
+    else:
+        main()

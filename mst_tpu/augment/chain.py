@@ -58,11 +58,19 @@ def _bernoulli(rng, p, shape):
     return jax.random.uniform(rng, shape) < p
 
 
-def augment_stems(rng: jax.Array, stems: jax.Array, cfg: AugmentConfig | None = None) -> jax.Array:
+def augment_stems(rng: jax.Array, stems: jax.Array,
+                  cfg: AugmentConfig | None = None,
+                  decisions: dict | None = None) -> jax.Array:
     """stems (..., 4, 2, T) -> degraded stems, same shape.
 
     Leading dims are treated as batch; every (batch, stem) draws its own
     augmentation decisions, matching the reference's per-stem loop.
+
+    ``decisions``: optional override of every random draw (golden testing —
+    the same pinned decisions drive a scipy/numpy oracle).  Keys, all
+    optional: apply_gain/apply_tilt/use_high/apply_comp/apply_band (B, S)
+    bool, gain_db/cutoffs (B, S), apply_reverb (B,) bool, impulse (rl,).
+    Missing keys fall back to PRNG draws from ``rng``.
     """
     cfg = cfg or AugmentConfig()
     lead = stems.shape[:-3]
@@ -70,18 +78,28 @@ def augment_stems(rng: jax.Array, stems: jax.Array, cfg: AugmentConfig | None = 
     x = stems.reshape((-1, S, C, T))
     B = x.shape[0]
 
-    keys = jax.random.split(rng, 10)
+    keys = jax.random.split(rng, 10) if rng is not None else [None] * 10
+    decisions = decisions or {}
+
+    def _pick(name, draw, reshape=(1, 1)):
+        if name in decisions:
+            d = jnp.asarray(decisions[name])
+            return d.reshape(d.shape + (1,) * len(reshape)) if reshape else d
+        return draw()
 
     # 1. gain
-    apply_g = _bernoulli(keys[0], cfg.prob, (B, S, 1, 1))
-    gain_db = jax.random.uniform(
-        keys[1], (B, S, 1, 1), minval=-cfg.gain_range_db, maxval=cfg.gain_range_db
-    )
+    apply_g = _pick("apply_gain",
+                    lambda: _bernoulli(keys[0], cfg.prob, (B, S, 1, 1)))
+    gain_db = _pick("gain_db", lambda: jax.random.uniform(
+        keys[1], (B, S, 1, 1), minval=-cfg.gain_range_db,
+        maxval=cfg.gain_range_db))
     x = jnp.where(apply_g, x * 10.0 ** (gain_db / 20.0), x)
 
     # 2. spectral tilt: static cutoffs -> precompute both cascades once
-    apply_t = _bernoulli(keys[2], cfg.prob, (B, S, 1, 1))
-    use_high = _bernoulli(keys[3], 0.5, (B, S, 1, 1))
+    apply_t = _pick("apply_tilt",
+                    lambda: _bernoulli(keys[2], cfg.prob, (B, S, 1, 1)))
+    use_high = _pick("use_high",
+                     lambda: _bernoulli(keys[3], 0.5, (B, S, 1, 1)))
     sos_hi = butter_sos(2, cfg.tilt_high_cutoff, "high", cfg.sample_rate)
     sos_lo = butter_sos(2, cfg.tilt_low_cutoff, "low", cfg.sample_rate)
     hi = sosfilt_fir(sos_hi, x, cfg.fir_taps)
@@ -90,14 +108,16 @@ def augment_stems(rng: jax.Array, stems: jax.Array, cfg: AugmentConfig | None = 
     x = jnp.where(apply_t, tilted, x)
 
     # 3. compression
-    apply_c = _bernoulli(keys[4], cfg.prob, (B, S, 1, 1))
+    apply_c = _pick("apply_comp",
+                    lambda: _bernoulli(keys[4], cfg.prob, (B, S, 1, 1)))
     x = jnp.where(apply_c, _compress(x, cfg.comp_threshold_db, cfg.comp_ratio), x)
 
     # 4. bandwidth limit with per-(batch, stem) random cutoff
-    apply_b = _bernoulli(keys[5], cfg.prob, (B, S, 1, 1))
-    cutoffs = jax.random.uniform(
+    apply_b = _pick("apply_band",
+                    lambda: _bernoulli(keys[5], cfg.prob, (B, S, 1, 1)))
+    cutoffs = _pick("cutoffs", lambda: jax.random.uniform(
         keys[6], (B, S), minval=cfg.bandlimit_min, maxval=cfg.bandlimit_max
-    )
+    ), reshape=None)
 
     def _bl(sig, cut):  # sig (2, T), cut scalar
         return sosfilt_fir(butter_sos(4, cut, "low", cfg.sample_rate), sig, cfg.fir_taps)
@@ -106,15 +126,17 @@ def augment_stems(rng: jax.Array, stems: jax.Array, cfg: AugmentConfig | None = 
     x = jnp.where(apply_b, limited, x)
 
     # 5. reverb on the mixture, redistributed by stem energy
-    apply_r = _bernoulli(keys[7], cfg.prob, (B, 1, 1, 1))
+    apply_r = _pick("apply_reverb",
+                    lambda: _bernoulli(keys[7], cfg.prob, (B, 1, 1, 1)),
+                    reshape=(1, 1, 1))
     mixture = jnp.sum(x, axis=1)  # (B, 2, T)
     rl = int(cfg.sample_rate * cfg.reverb_decay)
     t = jnp.linspace(0.0, cfg.reverb_decay, rl)
-    impulse = (
+    impulse = _pick("impulse", lambda: (
         jnp.exp(-t / (cfg.reverb_decay / 4.0))
         * jax.random.normal(keys[8], (rl,))
         * 0.1
-    )
+    ), reshape=None)
     wet = fft_convolve_1d(mixture, impulse, mode="same_corr")[..., :T]
     mixture_rev = mixture * (1.0 - cfg.reverb_wet) + wet * cfg.reverb_wet
 

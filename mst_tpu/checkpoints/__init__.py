@@ -3,6 +3,7 @@ from mst_tpu.checkpoints.torch_compat import (
     tcn_params_from_torch,
     film_generator_params_from_torch,
     discriminator_params_from_torch,
+    cqtnet_params_from_torch,
     load_torch_checkpoint,
 )
 from mst_tpu.checkpoints.orbax_io import save_checkpoint, restore_checkpoint, latest_step
@@ -12,6 +13,7 @@ __all__ = [
     "tcn_params_from_torch",
     "film_generator_params_from_torch",
     "discriminator_params_from_torch",
+    "cqtnet_params_from_torch",
     "load_torch_checkpoint",
     "save_checkpoint",
     "restore_checkpoint",

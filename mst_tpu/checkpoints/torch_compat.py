@@ -180,6 +180,59 @@ def film_generator_params_from_torch(sd: dict) -> dict:
     return {"params": jax.tree.map(np.asarray, params)}
 
 
+def cqtnet_params_from_torch(sd: dict) -> dict:
+    """Discogs-VINet CQTNet state_dict -> flax {params, batch_stats}
+    (models/cqtnet.py; ref usage: scripts/extract_song_identity_embeddings.py:37-58).
+
+    Maps by *registration order and shape*, not names: upstream wraps layers
+    in ``nn.Sequential`` so keys are positional (``features.0.weight``...)
+    and vary across repo revisions, but torch preserves insertion order —
+    the i-th conv2d weight is conv{i}, the i-th norm group is bn{i}, and the
+    single 2-d weight is the linear projection.
+    """
+    import jax
+
+    groups: dict[str, dict] = {}
+    order: list[str] = []
+    for key, val in sd.items():
+        prefix, _, leaf = key.rpartition(".")
+        if prefix not in groups:
+            groups[prefix] = {}
+            order.append(prefix)
+        groups[prefix][leaf] = np.asarray(val)
+
+    convs, bns, linears = [], [], []
+    for prefix in order:
+        g = groups[prefix]
+        if "running_mean" in g:
+            bns.append(g)
+        elif "weight" in g and g["weight"].ndim == 4:
+            convs.append(g)
+        elif "weight" in g and g["weight"].ndim == 2:
+            linears.append(g)
+    if len(convs) != 10 or len(bns) != 10 or len(linears) != 1:
+        raise ValueError(
+            f"unexpected CQTNet layout: {len(convs)} convs, {len(bns)} "
+            f"norms, {len(linears)} linears (want 10/10/1)"
+        )
+
+    params: dict = {}
+    batch_stats: dict = {}
+    for i, (conv, bn) in enumerate(zip(convs, bns)):
+        params[f"conv{i}"] = {"kernel": _conv2d(conv["weight"])}
+        params[f"bn{i}"] = {"scale": bn["weight"], "bias": bn["bias"]}
+        batch_stats[f"bn{i}"] = {"mean": bn["running_mean"],
+                                 "var": bn["running_var"]}
+    proj = {"kernel": _linear(linears[0]["weight"])}
+    proj["bias"] = linears[0].get(
+        "bias", np.zeros(proj["kernel"].shape[1], np.float32))
+    params["projection"] = proj
+    return {
+        "params": jax.tree.map(np.asarray, params),
+        "batch_stats": jax.tree.map(np.asarray, batch_stats),
+    }
+
+
 def discriminator_params_from_torch(sd: dict) -> dict:
     """Reference SongIdentityDiscriminator (network.0/3/6) -> flax fc1/fc2/fc3."""
     import jax

@@ -39,7 +39,7 @@ def main(argv=None):
     from mst_tpu.cli._common import encoder_config_from_args, feature_config_from_args
     from mst_tpu.config import Stage1Config, TCNConfig
     from mst_tpu.data import load_stems, write_wav
-    from mst_tpu.eval.per_pair import optimize_pair
+    from mst_tpu.eval.per_pair import optimize_pairs
     from mst_tpu.models import MixingStyleEncoder
     from mst_tpu.train import create_stage1_state
 
@@ -61,23 +61,45 @@ def main(argv=None):
     out = Path(args.output_dir)
     out.mkdir(parents=True, exist_ok=True)
     n = int(args.clip_duration * args.sample_rate)
+
+    def _clip(stems):
+        padded = np.zeros((4, 2, n), np.float32)
+        s = stems[..., :n]
+        padded[..., : s.shape[-1]] = s
+        return padded
+
+    inputs = np.stack([_clip(load_stems(p["track_a"], args.sample_rate))
+                       for p in pairs])
+    targets = np.stack([_clip(load_stems(p["track_b"], args.sample_rate))
+                        for p in pairs])
+
+    # all pairs optimize as ONE vmapped program, sharded over the mesh
+    mesh = None
+    if len(jax.devices()) > 1:
+        from mst_tpu.parallel import make_mesh
+
+        mesh = make_mesh()
+    out_stems, res = optimize_pairs(
+        enc_apply, fcfg, jnp.asarray(inputs), jnp.asarray(targets),
+        TCNConfig(hidden_channels=16, num_blocks=8, kernel_size=5,
+                  use_film=False),
+        args.num_steps, args.learning_rate,
+        rng=jax.random.key(args.seed), embed_fn=embed_fn, mesh=mesh,
+    )
     results = []
     for i, pair in enumerate(pairs):
-        inp = load_stems(pair["track_a"], args.sample_rate)[..., :n]
-        tgt = load_stems(pair["track_b"], args.sample_rate)[..., :n]
-        out_stems, res = optimize_pair(
-            enc_apply, fcfg, jnp.asarray(inp), jnp.asarray(tgt),
-            TCNConfig(hidden_channels=16, num_blocks=8, kernel_size=5,
-                      use_film=False),
-            args.num_steps, args.learning_rate,
-            rng=jax.random.key(args.seed + i), embed_fn=embed_fn,
-        )
-        res.pop("losses")
-        res.update({"pair": i, "similarity": pair["similarity"]})
-        results.append(res)
+        r = {
+            "pair": i,
+            "similarity": pair["similarity"],
+            "initial_distance": float(res["initial_distance"][i]),
+            "final_distance": float(res["final_distance"][i]),
+            "improvement": float(res["improvement"][i]),
+            "converged": bool(res["converged"][i]),
+        }
+        results.append(r)
         write_wav(out / f"pair{i}_transferred.wav",
-                  np.asarray(out_stems).sum(0), args.sample_rate)
-        print(f"pair {i}: improvement {res['improvement']:.1%}")
+                  np.asarray(out_stems[i]).sum(0), args.sample_rate)
+        print(f"pair {i}: improvement {r['improvement']:.1%}")
 
     (out / "results.json").write_text(json.dumps(results, indent=2))
     print(json.dumps({"pairs": len(results),

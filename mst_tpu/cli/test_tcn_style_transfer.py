@@ -46,7 +46,7 @@ def main(argv=None):
     from mst_tpu.cli._common import encoder_config_from_args, feature_config_from_args
     from mst_tpu.config import Stage1Config, TCNConfig
     from mst_tpu.data import StyleTransferDataset, write_wav
-    from mst_tpu.eval.per_pair import optimize_pair
+    from mst_tpu.eval.per_pair import optimize_pairs
     from mst_tpu.models import MixingStyleEncoder
     from mst_tpu.train import create_stage1_state
 
@@ -78,25 +78,43 @@ def main(argv=None):
                                    args.clip_duration, seed=args.seed)
     out = Path(args.output_dir)
     out.mkdir(parents=True, exist_ok=True)
-    results = []
     rng = np.random.default_rng(args.seed)
-    for p in range(args.num_pairs):
+    inputs, targets = [], []
+    for _ in range(args.num_pairs):
         idx = int(rng.integers(0, len(dataset)))
         inp, tgt = dataset[idx]
-        out_stems, res = optimize_pair(
-            enc_apply, fcfg, jnp.asarray(inp), jnp.asarray(tgt),
-            tcn_cfg, args.num_steps, args.learning_rate,
-            rng=jax.random.key(args.seed + p), embed_fn=embed_fn,
-        )
-        res.pop("losses")
-        res["pair"] = p
-        results.append(res)
-        print(f"pair {p}: init={res['initial_distance']:.4f} "
-              f"final={res['final_distance']:.4f} "
-              f"improvement={res['improvement']:.1%} converged={res['converged']}")
+        inputs.append(inp)
+        targets.append(tgt)
+
+    # all pairs optimize as ONE vmapped program, sharded over the mesh
+    mesh = None
+    if len(jax.devices()) > 1:
+        from mst_tpu.parallel import make_mesh
+
+        mesh = make_mesh()
+    out_stems, res = optimize_pairs(
+        enc_apply, fcfg, jnp.asarray(np.stack(inputs)),
+        jnp.asarray(np.stack(targets)), tcn_cfg, args.num_steps,
+        args.learning_rate, rng=jax.random.key(args.seed),
+        embed_fn=embed_fn, mesh=mesh,
+    )
+    results = []
+    for p in range(args.num_pairs):
+        r = {
+            "pair": p,
+            "initial_distance": float(res["initial_distance"][p]),
+            "final_distance": float(res["final_distance"][p]),
+            "improvement": float(res["improvement"][p]),
+            "converged": bool(res["converged"][p]),
+            "identity_init_error": float(res["identity_init_error"][p]),
+        }
+        results.append(r)
+        print(f"pair {p}: init={r['initial_distance']:.4f} "
+              f"final={r['final_distance']:.4f} "
+              f"improvement={r['improvement']:.1%} converged={r['converged']}")
         if args.save_audio:
             write_wav(out / f"pair{p}_transferred.wav",
-                      np.asarray(out_stems).sum(0), args.sample_rate)
+                      np.asarray(out_stems[p]).sum(0), args.sample_rate)
 
     summary = {
         "num_pairs": len(results),

@@ -68,6 +68,22 @@ def get_params(argv=None):
     return p.parse_args(argv)
 
 
+def load_song_id_cache(path):
+    """(embeddings (N, D) f32, track_paths list[str]) from either our .npz
+    layout or the reference's torch .pt cache
+    (ref: scripts/extract_song_identity_embeddings.py:241-248)."""
+    if str(path).endswith((".pt", ".pth")):
+        import torch
+
+        c = torch.load(path, map_location="cpu", weights_only=False)
+        emb = c["embeddings"]
+        if hasattr(emb, "detach"):
+            emb = emb.detach().cpu().numpy()
+        return np.asarray(emb, np.float32), [str(p) for p in c["track_paths"]]
+    z = np.load(path, allow_pickle=True)
+    return np.asarray(z["embeddings"], np.float32), [str(p) for p in z["track_paths"]]
+
+
 def main(argv=None):
     args = get_params(argv)
 
@@ -170,12 +186,11 @@ def main(argv=None):
     song_id_cache = None
     if args.use_adversarial:
         if args.song_id_cache_path and Path(args.song_id_cache_path).exists():
-            z = np.load(args.song_id_cache_path, allow_pickle=True)
-            emb = np.asarray(z["embeddings"], np.float32)
+            emb, cache_paths = load_song_id_cache(args.song_id_cache_path)
             # Align by track path, not row index: failed tracks are dropped
             # from the cache, which would shift every later row (the
             # reference builds the same lookup; ref train.py:170-180).
-            path_to_row = {str(p): i for i, p in enumerate(z["track_paths"])}
+            path_to_row = {p: i for i, p in enumerate(cache_paths)}
             song_id_cache = np.zeros((len(dataset), emb.shape[1]), np.float32)
             missing = 0
             for i, d in enumerate(dataset.track_dirs):

@@ -147,7 +147,21 @@ def main(argv=None):
     state, tcn, gen, tx = create_style_transfer_state(
         cfg, jax.random.key(args.seed), total_steps
     )
-    step_fn = make_style_transfer_step(cfg, enc, enc_vars, tcn, gen, tx)
+    # spread the microbatch over the chips (state replicated, batch on
+    # 'data'); grad accumulation supplies the rest of the effective batch
+    mesh = None
+    n_dev = len(jax.devices())
+    if n_dev > 1 and args.batch_size % n_dev == 0:
+        from mst_tpu.parallel import make_mesh
+
+        mesh = make_mesh()
+        print(f"data-parallel over {n_dev} devices")
+    elif n_dev > 1:
+        print(f"NOTE: batch_size {args.batch_size} not divisible by "
+              f"{n_dev} devices; running unsharded (raise --batch_size and "
+              f"lower --gradient_accumulation_steps to use the mesh)")
+    step_fn = make_style_transfer_step(cfg, enc, enc_vars, tcn, gen, tx,
+                                       mesh=mesh)
 
     logger = MetricsLogger(args.log_dir, "style_transfer")
     rng = jax.random.key(args.seed + 1)

@@ -149,14 +149,31 @@ def main(argv=None):
             top, sims = retrieve_top_k(
                 q_embs, full_pool["embeddings"], k=args.top_k
             )
-            ood = [
-                {
+            # write the top-1 retrieved track's mixture for listening checks
+            # (ref: validate_retrieval.py:259-282)
+            from mst_tpu.data.audio_io import write_wav
+            from mst_tpu.data.datasets import load_stems
+
+            retrieved_dir = out / "retrieved_audio"
+            retrieved_dir.mkdir(parents=True, exist_ok=True)
+            ood = []
+            for i in range(len(query_files)):
+                rec = {
                     "query": query_files[i],
                     "retrieved": [full_pool["track_paths"][j] for j in top[i]],
                     "similarities": sims[i].tolist(),
                 }
-                for i in range(len(query_files))
-            ]
+                try:
+                    mix = load_stems(full_pool["track_paths"][top[i][0]],
+                                     args.sample_rate).sum(axis=0)  # (2, T)
+                    wav = retrieved_dir / (
+                        f"{Path(query_files[i]).stem}_retrieved_mix.wav")
+                    write_wav(wav, mix, args.sample_rate)
+                    rec["retrieved_mix_wav"] = str(wav)
+                except Exception as e:  # per-item tolerance (ref: :281-282)
+                    print(f"could not write retrieved mix for "
+                          f"{query_files[i]}: {e}")
+                ood.append(rec)
             metrics["out_of_domain"] = {"num_queries": len(ood)}
             (out / "retrieval_log.json").write_text(json.dumps(ood, indent=2))
 

@@ -5,6 +5,7 @@ from mst_tpu.data.datasets import (
     FMABaselineDataset,
     StyleTransferDataset,
     MUSDB18Dataset,
+    MUSDB18EmbeddingDataset,
     baseline_collate,
     style_transfer_collate,
     load_stems,
@@ -22,6 +23,7 @@ __all__ = [
     "FMABaselineDataset",
     "StyleTransferDataset",
     "MUSDB18Dataset",
+    "MUSDB18EmbeddingDataset",
     "baseline_collate",
     "style_transfer_collate",
     "load_stems",

@@ -127,7 +127,12 @@ def baseline_collate(items) -> dict:
 
 class StyleTransferDataset:
     """Pairs of different songs: (input stems, target stems)
-    (ref: data.py:332-538).  Target features are computed on device."""
+    (ref: data.py:332-538).  Target features are computed on device.
+
+    ``separator``: when given (an ``SCNetSeparator``), ``separated_path`` is
+    scanned for raw *mixture* audio files which are separated on the fly per
+    item instead of reading pre-separated stem dirs (ref: data.py:503-509,
+    ``use_preseparated=False``)."""
 
     def __init__(
         self,
@@ -135,16 +140,37 @@ class StyleTransferDataset:
         sample_rate: int = 44100,
         clip_duration: float = 10.0,
         seed: int = 42,
+        separator=None,
     ):
-        self.track_dirs = find_stem_dirs(separated_path)
-        if len(self.track_dirs) < 2:
-            raise FileNotFoundError(f"need >=2 stem dirs under {separated_path}")
         self.sr = sample_rate
         self.clip_samples = int(clip_duration * sample_rate)
         self.rng = np.random.default_rng(seed)
+        self.separator = separator
+        if separator is None:
+            self.track_dirs = find_stem_dirs(separated_path)
+            if len(self.track_dirs) < 2:
+                raise FileNotFoundError(
+                    f"need >=2 stem dirs under {separated_path}")
+        else:
+            self.audio_files = sorted(
+                p for p in Path(separated_path).rglob("*")
+                if p.suffix.lower() in AUDIO_EXTS and p.is_file()
+            )
+            if len(self.audio_files) < 2:
+                raise FileNotFoundError(
+                    f"need >=2 audio files under {separated_path}")
 
     def __len__(self) -> int:
-        return len(self.track_dirs)
+        return (len(self.track_dirs) if self.separator is None
+                else len(self.audio_files))
+
+    def _load(self, idx: int) -> np.ndarray:
+        if self.separator is None:
+            return load_stems(self.track_dirs[idx], self.sr)
+        audio, _ = read_audio(self.audio_files[idx], target_sr=self.sr)
+        if audio.shape[0] == 1:
+            audio = np.repeat(audio, 2, axis=0)
+        return self.separator.separate(audio[:2])  # (4, 2, T)
 
     def _crop(self, stems: np.ndarray) -> np.ndarray:
         T = stems.shape[-1]
@@ -157,11 +183,11 @@ class StyleTransferDataset:
         return stems[..., s : s + n]
 
     def __getitem__(self, idx: int):
-        tgt_idx = int(self.rng.integers(0, len(self.track_dirs) - 1))
+        tgt_idx = int(self.rng.integers(0, len(self) - 1))
         if tgt_idx >= idx:
             tgt_idx += 1
-        inp = self._crop(load_stems(self.track_dirs[idx], self.sr))
-        tgt = self._crop(load_stems(self.track_dirs[tgt_idx], self.sr))
+        inp = self._crop(self._load(idx))
+        tgt = self._crop(self._load(tgt_idx))
         return inp, tgt
 
 
@@ -203,6 +229,62 @@ class MUSDB18Dataset:
         s = int(offset_sec * self.sr)
         n = int(duration_sec * self.sr)
         return stems[..., s : s + n]
+
+
+class MUSDB18EmbeddingDataset:
+    """Deterministic fixed-window segment loader for embedding extraction
+    (ref: src/musdb_dataset.py:199-262): every track yields the SAME
+    [offset, offset+duration) window of stems + mixture, so caches and
+    retrieval pools are reproducible across runs.
+
+    ``__getitem__`` -> {stems (4, 2, T), mixture (2, T), name, path}; the
+    mixture comes from an on-disk ``mixture.*`` file when present
+    (windowed identically), otherwise the stem sum (ref: :241-262);
+    tracks shorter than the window are zero-padded.
+    """
+
+    def __init__(self, root: str | Path, sample_rate: int = 44100,
+                 segment_duration: float = 10.0, segment_offset: float = 0.0):
+        self.track_dirs = find_stem_dirs(root)
+        if not self.track_dirs:
+            raise FileNotFoundError(f"no stem dirs under {root}")
+        self.sr = sample_rate
+        self.segment_duration = segment_duration
+        self.segment_offset = segment_offset
+
+    def __len__(self) -> int:
+        return len(self.track_dirs)
+
+    def _window(self, audio: np.ndarray) -> np.ndarray:
+        s = int(self.segment_offset * self.sr)
+        n = int(self.segment_duration * self.sr)
+        seg = audio[..., s : s + n]
+        if seg.shape[-1] < n:
+            pad = np.zeros(audio.shape[:-1] + (n,), np.float32)
+            pad[..., : seg.shape[-1]] = seg
+            seg = pad
+        return seg
+
+    def __getitem__(self, idx: int) -> dict:
+        track_dir = self.track_dirs[idx]
+        stems = self._window(load_stems(track_dir, self.sr))
+        mixture = None
+        for ext in AUDIO_EXTS:
+            p = track_dir / f"mixture{ext}"
+            if p.exists():
+                audio, _ = read_audio(p, target_sr=self.sr)
+                if audio.shape[0] == 1:
+                    audio = np.repeat(audio, 2, axis=0)
+                mixture = self._window(audio[:2].astype(np.float32))
+                break
+        if mixture is None:
+            mixture = stems.sum(axis=0)
+        return {
+            "stems": stems,
+            "mixture": mixture,
+            "name": track_dir.name,
+            "path": str(track_dir),
+        }
 
 
 def train_val_split(n: int, val_fraction: float = 0.1, seed: int = 42):

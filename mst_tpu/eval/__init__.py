@@ -1,4 +1,4 @@
-from mst_tpu.eval.per_pair import optimize_pair, CONVERGENCE_IMPROVEMENT
+from mst_tpu.eval.per_pair import optimize_pair, optimize_pairs, CONVERGENCE_IMPROVEMENT
 from mst_tpu.eval.transfer_eval import StyleTransferEvaluator
 from mst_tpu.eval.audio_quality import audio_quality_report
 from mst_tpu.eval.retrieval import (
@@ -13,6 +13,7 @@ from mst_tpu.eval.retrieval import (
 
 __all__ = [
     "optimize_pair",
+    "optimize_pairs",
     "CONVERGENCE_IMPROVEMENT",
     "StyleTransferEvaluator",
     "audio_quality_report",

@@ -41,11 +41,35 @@ def build_embedding_cache(enc, variables, dataset, indices, fcfg: FeatureConfig,
     """Embed one segment per track (ref: validation_utils.py:151-214).
 
     ``segment``: 'first' (pool) or 'last' (queries) 10 s of each track
-    (ref: validate_retrieval.py:92-150)."""
+    (ref: validate_retrieval.py:92-150).
+
+    Streams: tracks are embedded ``batch_size`` at a time and only the
+    (N, D) embeddings accumulate on the host — host RSS stays bounded by
+    one batch of stems regardless of corpus size (a few thousand
+    materialized (4, 2, 441000) clips would OOM a small host)."""
     from mst_tpu.data.datasets import load_stems
+    from mst_tpu.pipeline import embed_stems
+
+    @jax.jit
+    def embed(stems):
+        return embed_stems(enc, variables, stems, fcfg)
+
+    pending: list[np.ndarray] = []
+    emb_chunks: list[np.ndarray] = []
+
+    def flush():
+        if not pending:
+            return
+        batch = np.stack(pending)
+        pad = batch_size - batch.shape[0]
+        if pad:  # pad the trailing partial batch: one compiled batch shape
+            batch = np.concatenate(
+                [batch, np.zeros((pad,) + batch.shape[1:], np.float32)])
+        emb_chunks.append(np.asarray(embed(jnp.asarray(batch)))[: len(pending)])
+        pending.clear()
 
     track_dirs = getattr(dataset, "track_dirs", None)
-    stems_list, track_indices, track_paths = [], [], []
+    track_indices, track_paths = [], []
     n = int(clip_duration * dataset.sr)
     for idx in indices:
         try:
@@ -70,14 +94,16 @@ def build_embedding_cache(enc, variables, dataset, indices, fcfg: FeatureConfig,
             pad = np.zeros(stems.shape[:-1] + (n,), np.float32)
             pad[..., : stems.shape[-1]] = stems
             stems = pad
-        stems_list.append(np.ascontiguousarray(stems))
+        pending.append(np.ascontiguousarray(stems))
         track_indices.append(int(idx))
         track_paths.append(
             str(track_dirs[int(idx)]) if track_dirs is not None else "?"
         )
-    embs = compute_embeddings(
-        enc, variables, np.stack(stems_list), fcfg, batch_size
-    )
+        if len(pending) == batch_size:
+            flush()
+    flush()
+    embs = (np.concatenate(emb_chunks, axis=0) if emb_chunks
+            else np.zeros((0, enc.cfg.embed_dim), np.float32))
     return {
         "embeddings": embs,
         "track_indices": np.asarray(track_indices),

@@ -13,6 +13,7 @@ from mst_tpu.models.grl import (
     compute_adversarial_lambda,
 )
 from mst_tpu.models.tcn import TCNMixer, TCNFiLMGenerator, create_tcn_config
+from mst_tpu.models.cqtnet import CQTNet
 
 __all__ = [
     "MelFrontend",
@@ -28,4 +29,5 @@ __all__ = [
     "TCNMixer",
     "TCNFiLMGenerator",
     "create_tcn_config",
+    "CQTNet",
 ]

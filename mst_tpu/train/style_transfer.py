@@ -82,10 +82,16 @@ def make_style_transfer_step(
     tcn: TCNMixer,
     gen: TCNFiLMGenerator,
     tx: optax.GradientTransformation,
+    mesh=None,
 ):
     """Jitted accumulating train step.
 
     batch: {input_stems (B, 4, 2, T), target_stems (B, 4, 2, T)}.
+
+    ``mesh``: when given, the step is jitted with explicit shardings —
+    state replicated, (micro)batch sharded on 'data' — so the B clips of a
+    microbatch spread over the chips instead of leaving all but one idle
+    (the grad-accum horizon supplies the rest of the effective batch).
     """
     from mst_tpu.pipeline import embed_stems
 
@@ -164,7 +170,13 @@ def make_style_transfer_step(
             metrics,
         )
 
-    return jax.jit(train_step)
+    if mesh is None:
+        return jax.jit(train_step)
+    from mst_tpu.train.stage1 import _state_and_batch_shardings
+
+    repl, data = _state_and_batch_shardings(mesh)
+    return jax.jit(train_step, in_shardings=(repl, data, repl),
+                   out_shardings=(repl, repl))
 
 
 def apply_style_transfer(

@@ -42,6 +42,58 @@ def test_preprocess_cqt_shape_and_standardization():
     np.testing.assert_allclose(valid.mean(axis=1), 0.0, atol=1e-4)
 
 
+def test_cqtnet_torch_parity():
+    """flax CQTNet + order/shape converter == torch replica (cosine, values)."""
+    import torch
+    import jax
+
+    from mst_tpu.checkpoints import cqtnet_params_from_torch
+    from mst_tpu.models import CQTNet
+    from tests.torch_cqtnet import TorchCQTNet
+
+    torch.manual_seed(0)
+    tmodel = TorchCQTNet(ch_in=4, ch_out=32).eval()
+    # non-trivial BN running stats so the converter's batch_stats mapping is
+    # actually exercised
+    with torch.no_grad():
+        for m in tmodel.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.2)
+                m.running_var.uniform_(0.5, 1.5)
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((2, 1, 84, 300)).astype(np.float32)
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(x)).numpy()
+
+    variables = cqtnet_params_from_torch(
+        {k: v.numpy() for k, v in tmodel.state_dict().items()}
+    )
+    model = CQTNet(ch_in=4, ch_out=32)
+    out = np.asarray(
+        jax.jit(lambda v, a: model.apply(v, a))(
+            variables, jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+        )
+    )
+    cos = np.sum(ref * out, axis=1)  # both L2-normalized
+    assert np.all(cos >= 0.999), cos
+    np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-4)
+
+
+def test_cqtnet_shapes_and_init():
+    import jax
+
+    from mst_tpu.models import CQTNet
+
+    model = CQTNet(ch_in=4, ch_out=32)
+    x = jnp.zeros((1, 84, 300, 1))
+    variables = jax.jit(model.init)(jax.random.key(0), x)
+    emb = model.apply(variables, x)
+    assert emb.shape == (1, 32)
+    assert variables["params"]["conv0"]["kernel"].shape == (12, 3, 1, 4)
+    assert variables["params"]["projection"]["kernel"].shape == (64, 32)
+
+
 def test_song_identity_cli(tmp_path):
     from mst_tpu.cli.extract_song_identity import main
     from mst_tpu.data import make_synthetic_corpus

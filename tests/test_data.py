@@ -49,6 +49,56 @@ def test_style_transfer_dataset(corpus):
     assert batch["input_stems"].shape == (2, 4, 2, 22050)
 
 
+def test_style_transfer_dataset_on_the_fly_separation(corpus, tmp_path):
+    """separator= mode: raw mixture files separated per item
+    (ref: data.py:503-509, use_preseparated=False)."""
+    from mst_tpu.data import load_stems, write_wav
+    from mst_tpu.separation import SCNetConfig, SCNetSeparator
+
+    mix_dir = tmp_path / "mixes"
+    mix_dir.mkdir()
+    from mst_tpu.data.datasets import find_stem_dirs
+
+    for d in find_stem_dirs(corpus)[:3]:
+        write_wav(mix_dir / f"{d.name}.wav",
+                  load_stems(d, 22050).sum(axis=0), 22050)
+
+    tiny = SCNetConfig(n_fft=512, hop_length=128, dims=(4, 8, 16, 24),
+                       band_strides=(1, 2, 4), band_kernels=(3, 2, 4),
+                       conv_depths=(1, 1, 1), num_dplayers=1, rnn_hidden=16)
+    sep = SCNetSeparator.from_checkpoint(None, sample_rate=22050, cfg=tiny)
+    sep.chunk_seconds = 1.0
+    ds = StyleTransferDataset(mix_dir, sample_rate=22050, clip_duration=1.0,
+                              separator=sep)
+    assert len(ds) == 3
+    inp, tgt = ds[0]
+    assert inp.shape == (4, 2, 22050) and tgt.shape == (4, 2, 22050)
+    assert np.isfinite(inp).all()
+
+
+def test_musdb_embedding_dataset(corpus):
+    """Fixed-window loader (ref: musdb_dataset.py:199-262): deterministic
+    across calls, pads short tracks, mixture == stem sum when no file."""
+    from mst_tpu.data import MUSDB18EmbeddingDataset
+
+    ds = MUSDB18EmbeddingDataset(corpus, sample_rate=22050,
+                                 segment_duration=1.0, segment_offset=0.5)
+    a = ds[0]
+    b = ds[0]
+    assert a["stems"].shape == (4, 2, 22050)
+    np.testing.assert_array_equal(a["stems"], b["stems"])  # deterministic
+    np.testing.assert_allclose(a["mixture"], a["stems"].sum(axis=0), atol=1e-6)
+    full = ds.track_dirs[0]
+    from mst_tpu.data import load_stems
+    np.testing.assert_allclose(
+        a["stems"], load_stems(full, 22050)[..., 11025:33075], atol=1e-7)
+    # offset beyond track end -> zero-padded, not an error
+    ds2 = MUSDB18EmbeddingDataset(corpus, sample_rate=22050,
+                                  segment_duration=1.0, segment_offset=2.5)
+    c = ds2[0]
+    assert c["stems"].shape == (4, 2, 22050)
+
+
 def test_musdb_dataset(corpus):
     ds = MUSDB18Dataset(corpus, sample_rate=22050)
     item = ds[0]

@@ -98,6 +98,40 @@ def test_learns_synthetic_separation(rng):
     assert losses[-1] < losses[0] * 0.98, losses
 
 
+def test_trained_checkpoint_si_sdr_regression():
+    """The committed trained artifact must actually separate: held-out
+    synthetic SI-SDR meaningfully positive and far above the
+    mixture-as-prediction baseline.  Fails if separation quality regresses
+    (replaces the round-1 2%-loss-drop assertion, VERDICT.md weak #1)."""
+    import json
+    from pathlib import Path
+
+    from mst_tpu.checkpoints.npz_io import load_params_npz
+    from mst_tpu.separation import SCNet, SCNetConfig
+    from mst_tpu.separation.train import make_synth_eval_fn
+
+    root = Path(__file__).resolve().parent.parent
+    ckpt = root / "artifacts" / "scnet_synth_best.npz"
+    meta_path = root / "artifacts" / "scnet_synth_best.json"
+    if not ckpt.exists():
+        pytest.skip("trained SCNet artifact not committed yet")
+    meta = json.loads(meta_path.read_text())
+    cfg = SCNetConfig(
+        n_fft=meta["config"]["n_fft"], hop_length=meta["config"]["hop_length"],
+        dims=tuple(meta["config"]["dims"]),
+        num_dplayers=meta["config"]["num_dplayers"],
+    )
+    model = SCNet(cfg)
+    params = load_params_npz(ckpt)
+    chunk = int(meta["chunk_seconds"] * meta["sample_rate"])
+    eval_fn = make_synth_eval_fn(model, 2, chunk, float(meta["sample_rate"]))
+    r = eval_fn(params, jax.random.key(20260816))  # fresh held-out mixes
+    sdr = float(r["si_sdr"])
+    base = float(r["input_si_sdr"])
+    assert sdr >= 4.0, (sdr, base)
+    assert sdr >= base + 8.0, (sdr, base)
+
+
 def test_demix_track_overlap_add(model_and_vars, rng):
     model, variables, _ = model_and_vars
     apply_fn = jax.jit(lambda x: model.apply(variables, x))
