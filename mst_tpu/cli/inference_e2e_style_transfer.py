@@ -34,6 +34,11 @@ def get_params(argv=None):
     add_model_args(p)
     p.add_argument("--encoder_checkpoint", type=str, default=None)
     p.add_argument("--encoder_checkpoint_torch", type=str, default=None)
+    # ref: inference_e2e_style_transfer.py:7 — mixture-based 128-d variant
+    p.add_argument("--encoder_type", type=str, default="mixing_style",
+                   choices=["mixing_style", "fx_encoder"])
+    p.add_argument("--fx_encoder_checkpoint", type=str, default=None)
+    p.add_argument("--fx_embed_dim", type=int, default=128)
     p.add_argument("--tcn_checkpoint", type=str, default=None)
     p.add_argument("--scnet_checkpoint", type=str, default=None,
                    help="SCNet separation weights (orbax)")
@@ -111,11 +116,27 @@ def main(argv=None):
     target_stems = get_stems(args.target_stems, args.target_audio)
 
     # --- models ---
+    embed_fn = None
     enc = MixingStyleEncoder(enc_cfg)
     s1state, _, _ = create_stage1_state(
         Stage1Config(encoder=enc_cfg, features=fcfg), jax.random.key(args.seed), 1
     )
-    if args.encoder_checkpoint_torch:
+    if args.encoder_type == "fx_encoder":
+        from mst_tpu.models.fx_encoder import FxEncoder, make_fx_embed_fn
+
+        fx = FxEncoder(audio=enc_cfg.audio, embed_dim=args.fx_embed_dim)
+        if args.fx_encoder_checkpoint:
+            from mst_tpu.checkpoints.npz_io import load_params_npz
+
+            fx_vars = {"params": load_params_npz(args.fx_encoder_checkpoint)}
+        else:
+            print("WARNING: randomly initialized fx encoder")
+            fx_vars = jax.jit(fx.init)(
+                jax.random.key(args.seed),
+                jnp.zeros((1, 2, enc_cfg.audio.clip_samples)))
+        embed_fn = make_fx_embed_fn(fx, fx_vars)
+        enc_vars = {"params": s1state.params, "batch_stats": s1state.batch_stats}
+    elif args.encoder_checkpoint_torch:
         ckpt = load_torch_checkpoint(args.encoder_checkpoint_torch)
         enc_vars = encoder_params_from_torch(ckpt["model_state_dict"], enc_cfg.n_subbands)
     elif args.encoder_checkpoint:
@@ -125,11 +146,13 @@ def main(argv=None):
         print("WARNING: randomly initialized encoder")
         enc_vars = {"params": s1state.params, "batch_stats": s1state.batch_stats}
 
+    cond_dim = (args.fx_embed_dim if args.encoder_type == "fx_encoder"
+                else enc_cfg.embed_dim)
     st_cfg = StyleTransferConfig(
         encoder=enc_cfg, features=fcfg,
         tcn=TCNConfig(hidden_channels=args.hidden_channels,
                       num_blocks=args.num_blocks, kernel_size=args.kernel_size,
-                      use_film=True, film_embed_dim=2 * enc_cfg.embed_dim),
+                      use_film=True, film_embed_dim=2 * cond_dim),
     )
     state, tcn, gen, _ = create_style_transfer_state(st_cfg, jax.random.key(args.seed), 1)
     if args.tcn_checkpoint:
@@ -141,6 +164,7 @@ def main(argv=None):
     out_stems, metrics = apply_style_transfer(
         st_cfg, enc, enc_vars, tcn, gen, state,
         jnp.asarray(input_stems)[None], jnp.asarray(target_stems)[None],
+        embed_fn=embed_fn,
     )
     out_stems = np.asarray(out_stems)[0]
 
@@ -159,7 +183,8 @@ def main(argv=None):
         "config": {"hidden_channels": args.hidden_channels,
                    "num_blocks": args.num_blocks,
                    "kernel_size": args.kernel_size,
-                   "encoder_dim": enc_cfg.embed_dim},
+                   "encoder_type": args.encoder_type,
+                   "encoder_dim": cond_dim},
     }
     (out / "metadata.json").write_text(json.dumps(meta, indent=2))
     print(json.dumps(meta))

@@ -45,6 +45,9 @@ def get_params(argv=None):
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--max_steps", type=int, default=None)
     p.add_argument("--num_workers", type=int, default=4)
+    p.add_argument("--resume_npz", type=str, default=None,
+                   help="warm-start params from a .npz artifact (fresh "
+                        "optimizer; use a lower --learning_rate)")
     return p.parse_args(argv)
 
 
@@ -163,6 +166,12 @@ def _train_on_device_synth(args):
     state, model, tx = create_separation_state(
         cfg, jax.random.key(args.seed), total_steps, args.learning_rate, chunk
     )
+    if args.resume_npz:
+        from mst_tpu.checkpoints.npz_io import load_params_npz
+
+        warm = load_params_npz(args.resume_npz)
+        state = state.replace(params=warm)
+        print(f"warm-started params from {args.resume_npz}", flush=True)
     step_fn = make_synth_train_step(model, tx, args.batch_size, chunk,
                                     float(args.sample_rate),
                                     augment=not args.no_augment)
@@ -175,6 +184,11 @@ def _train_on_device_synth(args):
     ckpt_dir = Path(args.checkpoint_dir).absolute()
     ckpt_dir.mkdir(parents=True, exist_ok=True)
     best_sdr = -1e9
+    prev_meta = ckpt_dir / "scnet_synth_best.json"
+    if prev_meta.exists():  # never regress the committed best artifact
+        best_sdr = float(json.loads(prev_meta.read_text())["si_sdr"])
+        print(f"existing best SI-SDR {best_sdr:.2f} dB — only saving above it",
+              flush=True)
 
     for _ in range(total_steps):
         state, metrics = step_fn(state, rng)

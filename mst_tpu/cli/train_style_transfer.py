@@ -31,6 +31,13 @@ def get_params(argv=None):
     # encoder (frozen)
     p.add_argument("--encoder_checkpoint", type=str, default=None)
     p.add_argument("--encoder_checkpoint_torch", type=str, default=None)
+    # ref: train_style_transfer.py:421-426 — mixing_style (stem-based 512-d)
+    # or fx_encoder (mixture-based 128-d)
+    p.add_argument("--encoder_type", type=str, default="mixing_style",
+                   choices=["mixing_style", "fx_encoder"])
+    p.add_argument("--fx_encoder_checkpoint", type=str, default=None,
+                   help=".npz FxEncoder params (models/fx_encoder.py)")
+    p.add_argument("--fx_embed_dim", type=int, default=128)
     # TCN architecture (ref: train_style_transfer.py:431-445)
     p.add_argument("--hidden_channels", type=int, default=128)
     p.add_argument("--num_blocks", type=int, default=14)
@@ -94,6 +101,8 @@ def main(argv=None):
         raise SystemExit("--separated_path (or --synthetic) is required")
 
     enc_cfg = encoder_config_from_args(args)
+    cond_dim = (args.fx_embed_dim if args.encoder_type == "fx_encoder"
+                else enc_cfg.embed_dim)
     cfg = StyleTransferConfig(
         encoder=enc_cfg,
         features=feature_config_from_args(args),
@@ -103,7 +112,7 @@ def main(argv=None):
             kernel_size=args.kernel_size,
             causal=args.causal,
             use_film=True,
-            film_embed_dim=2 * enc_cfg.embed_dim,
+            film_embed_dim=2 * cond_dim,
         ),
         batch_size=args.batch_size,
         grad_accum_steps=args.gradient_accumulation_steps,
@@ -114,13 +123,33 @@ def main(argv=None):
         seed=args.seed,
     )
 
-    # frozen encoder
+    # frozen encoder (mixing_style stem-based, or fx_encoder mixture-based —
+    # ref: train_style_transfer.py:501-556)
+    embed_fn = None
     enc = MixingStyleEncoder(enc_cfg)
     from mst_tpu.config import Stage1Config
 
     s1cfg = Stage1Config(encoder=enc_cfg, features=cfg.features)
     s1state, _, _ = create_stage1_state(s1cfg, jax.random.key(args.seed), 1)
-    if args.encoder_checkpoint_torch:
+    if args.encoder_type == "fx_encoder":
+        import jax.numpy as jnp
+
+        from mst_tpu.models.fx_encoder import FxEncoder, make_fx_embed_fn
+
+        fx = FxEncoder(audio=enc_cfg.audio, embed_dim=args.fx_embed_dim)
+        if args.fx_encoder_checkpoint:
+            from mst_tpu.checkpoints.npz_io import load_params_npz
+
+            fx_vars = {"params": load_params_npz(args.fx_encoder_checkpoint)}
+            print(f"loaded fx encoder from {args.fx_encoder_checkpoint}")
+        else:
+            print("WARNING: randomly initialized fx encoder (no checkpoint)")
+            fx_vars = jax.jit(fx.init)(
+                jax.random.key(args.seed),
+                jnp.zeros((1, 2, enc_cfg.audio.clip_samples)))
+        embed_fn = make_fx_embed_fn(fx, fx_vars)
+        enc_vars = {"params": s1state.params, "batch_stats": s1state.batch_stats}
+    elif args.encoder_checkpoint_torch:
         ckpt = load_torch_checkpoint(args.encoder_checkpoint_torch)
         enc_vars = encoder_params_from_torch(
             ckpt["model_state_dict"], enc_cfg.n_subbands
@@ -161,7 +190,7 @@ def main(argv=None):
               f"{n_dev} devices; running unsharded (raise --batch_size and "
               f"lower --gradient_accumulation_steps to use the mesh)")
     step_fn = make_style_transfer_step(cfg, enc, enc_vars, tcn, gen, tx,
-                                       mesh=mesh)
+                                       mesh=mesh, embed_fn=embed_fn)
 
     logger = MetricsLogger(args.log_dir, "style_transfer")
     rng = jax.random.key(args.seed + 1)
@@ -172,7 +201,8 @@ def main(argv=None):
                             "num_blocks": args.num_blocks,
                             "kernel_size": args.kernel_size,
                             "causal": args.causal},
-                    "encoder_dim": enc_cfg.embed_dim}, indent=2)
+                    "encoder_type": args.encoder_type,
+                    "encoder_dim": cond_dim}, indent=2)
     )
 
     # validation: style loss on held-out pairs with frozen TCN state
@@ -183,8 +213,11 @@ def main(argv=None):
 
     @jax.jit
     def val_step(state, batch):
-        def embed(stems):
-            return embed_stems(enc, enc_vars, stems, cfg.features)
+        if embed_fn is not None:
+            embed = embed_fn
+        else:
+            def embed(stems):
+                return embed_stems(enc, enc_vars, stems, cfg.features)
 
         inp, tgt = batch["input_stems"], batch["target_stems"]
         input_emb = embed(inp)

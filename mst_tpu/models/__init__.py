@@ -14,6 +14,7 @@ from mst_tpu.models.grl import (
 )
 from mst_tpu.models.tcn import TCNMixer, TCNFiLMGenerator, create_tcn_config
 from mst_tpu.models.cqtnet import CQTNet
+from mst_tpu.models.fx_encoder import FxEncoder, make_fx_embed_fn
 
 __all__ = [
     "MelFrontend",
@@ -30,4 +31,6 @@ __all__ = [
     "TCNFiLMGenerator",
     "create_tcn_config",
     "CQTNet",
+    "FxEncoder",
+    "make_fx_embed_fn",
 ]

@@ -83,6 +83,7 @@ def make_style_transfer_step(
     gen: TCNFiLMGenerator,
     tx: optax.GradientTransformation,
     mesh=None,
+    embed_fn=None,
 ):
     """Jitted accumulating train step.
 
@@ -92,13 +93,22 @@ def make_style_transfer_step(
     state replicated, (micro)batch sharded on 'data' — so the B clips of a
     microbatch spread over the chips instead of leaving all but one idle
     (the grad-accum horizon supplies the rest of the effective batch).
+
+    ``embed_fn(stems) -> (B, D)``: overrides the stem-based mixing-style
+    embedding — the reference's ``--encoder_type fx_encoder`` mode embeds
+    the summed mixture instead (ref: train_style_transfer.py:163-182;
+    adapter: models.fx_encoder.make_fx_embed_fn).  D must equal
+    ``cfg.tcn.film_embed_dim // 2``.
     """
     from mst_tpu.pipeline import embed_stems
 
     fcfg = cfg.features
 
-    def embed(stems):
-        return embed_stems(enc, enc_variables, stems, fcfg)
+    if embed_fn is not None:
+        embed = embed_fn
+    else:
+        def embed(stems):
+            return embed_stems(enc, enc_variables, stems, fcfg)
 
     def loss_fn(params, tcn_stats, batch, rng):
         inp = batch["input_stems"]
@@ -188,16 +198,23 @@ def apply_style_transfer(
     state: StyleTransferState,
     input_stems: jax.Array,
     target_stems: jax.Array,
+    embed_fn=None,
 ):
     """Inference: transfer target's mixing style onto input
     (ref: inference_e2e_style_transfer.py:124-177).  Returns
-    (output_stems (B, 4, 2, T), metrics with initial/final distance)."""
+    (output_stems (B, 4, 2, T), metrics with initial/final distance).
+
+    ``embed_fn``: mixture-level override, as in make_style_transfer_step
+    (ref's fx_encoder mode, inference_e2e_style_transfer.py:7)."""
     from mst_tpu.pipeline import embed_stems
 
     fcfg = cfg.features
 
-    def embed(stems):
-        return embed_stems(enc, enc_variables, stems, fcfg)
+    if embed_fn is not None:
+        embed = embed_fn
+    else:
+        def embed(stems):
+            return embed_stems(enc, enc_variables, stems, fcfg)
 
     input_emb = embed(input_stems)
     target_emb = embed(target_stems)

@@ -107,3 +107,30 @@ def test_full_loop(corpus, tmp_path):
     assert out_stems.shape == inp.shape
     assert res["identity_init_error"] < 0.1
     assert np.isfinite(res["final_distance"])
+
+
+def test_train_style_transfer_cli_fx_encoder(tmp_path):
+    """CLI fx_encoder mode end-to-end in-process (ref
+    train_style_transfer.py:421-426): mixture-level conditioning trains and
+    checkpoints with config.json recording the encoder type."""
+    import json
+
+    from mst_tpu.cli import train_style_transfer as cli
+
+    ckpt = tmp_path / "st_fx"
+    cli.main([
+        "--synthetic", "--checkpoint_dir", str(ckpt),
+        "--log_dir", str(tmp_path / "logs"),
+        "--sample_rate", "8000", "--clip_duration", "0.25",
+        "--n_fft", "256", "--hop_length", "64", "--n_mels", "32",
+        "--encoder_dim", "32", "--band_split_size", "8", "--band_overlap", "4",
+        "--encoder_type", "fx_encoder", "--fx_embed_dim", "16",
+        "--hidden_channels", "8", "--num_blocks", "2", "--kernel_size", "5",
+        "--batch_size", "1", "--gradient_accumulation_steps", "2",
+        "--num_epochs", "1", "--max_steps", "2", "--no_cycle_consistency",
+        "--num_workers", "1",
+    ])
+    meta = json.loads((ckpt / "config.json").read_text())
+    assert meta["encoder_type"] == "fx_encoder"
+    assert meta["encoder_dim"] == 16
+    assert (ckpt / "final").exists()

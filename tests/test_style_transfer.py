@@ -131,3 +131,48 @@ def test_apply_style_transfer_inference(setup):
     assert out.shape == batch["input_stems"].shape
     assert metrics["initial_distance"].shape == (2,)
     assert bool(jnp.isfinite(metrics["final_distance"]).all())
+
+
+def test_fx_encoder_mode(setup):
+    """Mixture-level FxEncoder conditioning (ref train_style_transfer.py:543-556):
+    128-d-style embeddings from the summed mixture drive FiLM; loss decreases
+    and inference accepts the same embed_fn."""
+    import dataclasses
+
+    from mst_tpu.models import FxEncoder, make_fx_embed_fn
+
+    enc, enc_vars, batch = setup
+    fx = FxEncoder(audio=TINY_AUDIO, embed_dim=16, channels=(8, 16))
+    fx_vars = fx.init(jax.random.key(7),
+                      jnp.zeros((1, 2, TINY_AUDIO.clip_samples)))
+    embed_fn = make_fx_embed_fn(fx, fx_vars)
+
+    emb = embed_fn(batch["input_stems"])
+    assert emb.shape == (2, 16)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(emb), axis=1), 1.0, atol=1e-4)
+
+    cfg = dataclasses.replace(
+        TINY_CFG,
+        tcn=dataclasses.replace(TINY_CFG.tcn, film_embed_dim=32),
+        use_cycle_consistency=False,
+    )
+    state, tcn, gen, tx = create_style_transfer_state(
+        cfg, jax.random.key(1), total_steps=50
+    )
+    step_fn = make_style_transfer_step(cfg, enc, enc_vars, tcn, gen, tx,
+                                       embed_fn=embed_fn)
+    rng = jax.random.key(2)
+    losses = []
+    for _ in range(12):
+        state, metrics = step_fn(state, batch, rng)
+        losses.append(float(metrics["style_loss"]))
+    assert np.isfinite(losses).all()
+    assert min(losses[6:]) < losses[0], losses
+
+    out, m = apply_style_transfer(
+        cfg, enc, enc_vars, tcn, gen, state,
+        batch["input_stems"], batch["target_stems"], embed_fn=embed_fn,
+    )
+    assert out.shape == batch["input_stems"].shape
+    assert np.isfinite(np.asarray(m["final_distance"])).all()
