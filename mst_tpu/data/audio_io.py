@@ -99,16 +99,70 @@ def write_wav(path: str | Path, audio: np.ndarray, sample_rate: int) -> None:
 
 
 def read_audio(path: str | Path, target_sr: int | None = None) -> tuple[np.ndarray, int]:
-    """Read any audio file; WAV natively, everything else through ffmpeg."""
+    """Read any audio file; WAV natively, compressed formats through ffmpeg
+    when present, else the SDL_mixer (pygame) decoder."""
     path = Path(path)
     if path.suffix.lower() == ".wav":
         audio, sr = read_wav(path)
-    else:
+    elif shutil.which("ffmpeg") is not None:
         audio, sr = _read_via_ffmpeg(path)
+    else:
+        audio, sr = _read_via_sdl(path)
     if target_sr is not None and sr != target_sr:
         audio = resample(audio, sr, target_sr)
         sr = target_sr
     return audio, sr
+
+
+def mpeg_stream_info(path: str | Path) -> tuple[int, int] | None:
+    """(sample_rate, channels) from the first MPEG audio frame header, or
+    None if no valid header is found.  Scans past ID3v2 tags; used to open
+    the SDL decoder at the file's native rate so no resample happens."""
+    data = Path(path).read_bytes()
+    pos = 0
+    if data[:3] == b"ID3" and len(data) >= 10:  # ID3v2: syncsafe 28-bit size
+        size = (data[6] << 21) | (data[7] << 14) | (data[8] << 7) | data[9]
+        pos = 10 + size
+    sr_base = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000),
+               0: (11025, 12000, 8000)}  # MPEG1 / MPEG2 / MPEG2.5
+    end = min(len(data) - 4, pos + (1 << 16))
+    while pos < end:
+        if data[pos] == 0xFF and (data[pos + 1] & 0xE0) == 0xE0:
+            version = (data[pos + 1] >> 3) & 0x3
+            layer = (data[pos + 1] >> 1) & 0x3
+            sr_idx = (data[pos + 2] >> 2) & 0x3
+            mode = (data[pos + 3] >> 6) & 0x3
+            if version != 1 and layer != 0 and sr_idx != 3:
+                return sr_base[version][sr_idx], (1 if mode == 3 else 2)
+        pos += 1
+    return None
+
+
+def _read_via_sdl(path: Path) -> tuple[np.ndarray, int]:
+    """Decode MP3/OGG/FLAC via SDL_mixer (pygame, baked into the image) —
+    the no-ffmpeg fallback.  SDL converts to the opened device spec, so the
+    mixer is opened at the file's native rate (mpeg_stream_info) to keep the
+    decode bit-true; mono streams are downmixed back from SDL's upmix."""
+    import os
+
+    os.environ.setdefault("SDL_AUDIODRIVER", "dummy")
+    try:
+        import pygame
+    except ImportError as e:
+        raise RuntimeError(
+            f"cannot decode {path.suffix}: neither ffmpeg nor pygame available"
+        ) from e
+    info = mpeg_stream_info(path) if path.suffix.lower() == ".mp3" else None
+    sr, n_ch = info if info is not None else (44100, 2)
+    if pygame.mixer.get_init() != (sr, -16, 2):
+        pygame.mixer.quit()
+        pygame.mixer.init(frequency=sr, size=-16, channels=2)
+    snd = pygame.mixer.Sound(str(path))
+    arr = pygame.sndarray.array(snd)  # (T, 2) int16 at mixer rate
+    x = (arr.astype(np.float32) / 32768.0).T
+    if n_ch == 1:
+        x = x.mean(axis=0, keepdims=True)
+    return np.ascontiguousarray(x), sr
 
 
 def _read_via_ffmpeg(path: Path) -> tuple[np.ndarray, int]:

@@ -138,3 +138,35 @@ def test_prefetch_loader_skips_bad_items(corpus, tmp_path):
                             num_workers=2, shuffle=False)
     batches = list(loader)
     assert sum(b["stems"].shape[0] for b in batches) == 10  # 5 tracks survive
+
+
+def test_mp3_decode_sdl_fallback():
+    """MP3 decode without ffmpeg via the SDL_mixer fallback (ROADMAP item 3):
+    native-rate header parse + decode; reference loads FMA mp3s through
+    torchaudio (ref: src/data.py:169-199)."""
+    from pathlib import Path
+
+    import numpy as np
+    import pytest
+
+    from mst_tpu.data.audio_io import mpeg_stream_info, read_audio
+
+    asset = Path("/opt/venv/lib/python3.12/site-packages/pygame/examples"
+                 "/data/house_lo.mp3")
+    if not asset.exists():
+        pytest.skip("no mp3 asset in this environment")
+    pytest.importorskip("pygame")
+
+    info = mpeg_stream_info(asset)
+    assert info == (11025, 1)  # known native format of the asset
+
+    x, sr = read_audio(asset)
+    assert sr == 11025 and x.shape[0] == 1
+    assert 7.0 < x.shape[1] / sr < 7.5  # known ~7.26 s duration
+    rms = float(np.sqrt((x**2).mean()))
+    assert 0.05 < rms < 0.6 and float(np.abs(x).max()) <= 1.0
+
+    # resample-on-read path
+    y, sr2 = read_audio(asset, target_sr=22050)
+    assert sr2 == 22050
+    assert abs(y.shape[1] - 2 * x.shape[1]) <= 2
