@@ -29,6 +29,14 @@ def get_params(argv=None):
                    help="pre-separated stems root; omit with --synthetic")
     p.add_argument("--synthetic", action="store_true",
                    help="generate a synthetic corpus (smoke runs)")
+    p.add_argument("--on_device_synth", action="store_true",
+                   help="two-crop contrastive batches synthesized INSIDE "
+                        "the step (separation/synth.py): infinite fresh "
+                        "songs, zero host data path; saves a best-by-"
+                        "retrieval .npz encoder artifact")
+    p.add_argument("--eval_interval", type=int, default=500)
+    p.add_argument("--eval_songs", type=int, default=64,
+                   help="held-out synthetic songs for retrieval eval")
     p.add_argument("--num_workers", type=int, default=4)
     add_audio_args(p)
     add_model_args(p)
@@ -84,8 +92,139 @@ def load_song_id_cache(path):
     return np.asarray(z["embeddings"], np.float32), [str(p) for p in z["track_paths"]]
 
 
+def _train_on_device_synth(args):
+    """Stage-1 contrastive training with on-device synthesized two-crop
+    batches (no corpus, no host data path — the demonstration recipe, like
+    train_separation --on_device_synth).  Eval = same-song retrieval over
+    held-out synthetic songs: crop A embeddings query a pool of crop B
+    embeddings (the ref's validation protocol, validate_retrieval.py);
+    best-by-top1 artifact saved as <checkpoint_dir>/encoder_synth_best.npz."""
+    import jax
+    import jax.numpy as jnp
+
+    from mst_tpu.augment import AugmentConfig, augment_stems
+    from mst_tpu.checkpoints.npz_io import save_params_npz
+    from mst_tpu.cli._common import (
+        MetricsLogger,
+        encoder_config_from_args,
+        feature_config_from_args,
+    )
+    from mst_tpu.config import Stage1Config
+    from mst_tpu.pipeline import embed_stems
+    from mst_tpu.separation.synth import synth_two_crop_batch
+    from mst_tpu.train import create_stage1_state, make_train_step
+
+    cfg = Stage1Config(
+        encoder=encoder_config_from_args(args),
+        features=feature_config_from_args(args),
+        batch_size=args.batch_size,
+        num_segments=2,
+        learning_rate=args.learning_rate,
+        weight_decay=args.weight_decay,
+        temperature=args.temperature,
+        seed=args.seed,
+        use_adversarial=False,
+        use_augmentation=args.use_augmentation,
+    )
+    total_steps = args.max_steps or 10000
+    T = cfg.encoder.audio.clip_samples
+    sr = float(args.sample_rate)
+
+    state, enc, _ = create_stage1_state(cfg, jax.random.key(args.seed), total_steps)
+
+    augment_fn = None
+    if args.use_augmentation:
+        acfg = AugmentConfig(sample_rate=args.sample_rate)
+        augment_fn = lambda rng, stems: augment_stems(rng, stems, acfg)
+    step_fn = make_train_step(cfg, enc, None, total_steps, augment_fn=augment_fn)
+
+    @jax.jit
+    def synth_fn(key):
+        return synth_two_crop_batch(key, args.batch_size, T, sr)
+
+    @jax.jit
+    def embed_fn(variables, stems):
+        return embed_stems(enc, variables, stems, cfg.features)
+
+    ec = min(16, args.eval_songs)  # one compiled eval-chunk program
+
+    @jax.jit
+    def eval_chunk(variables, key):
+        stems, _ = synth_two_crop_batch(key, ec, T, sr)
+        return embed_fn(variables, stems)  # (2*ec, D) [A0,B0,A1,B1,...]
+
+    def retrieval_eval(variables, key):
+        """top1/top5 same-song retrieval over held-out synthetic songs."""
+        qs, ps = [], []
+        for i in range(0, args.eval_songs, ec):
+            emb = np.asarray(eval_chunk(variables, jax.random.fold_in(key, i)),
+                             np.float32)
+            qs.append(emb[0::2])
+            ps.append(emb[1::2])
+        q = np.concatenate(qs)[: args.eval_songs]
+        p = np.concatenate(ps)[: args.eval_songs]
+        q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+        p /= np.maximum(np.linalg.norm(p, axis=1, keepdims=True), 1e-12)
+        sim = q @ p.T
+        order = np.argsort(-sim, axis=1)
+        truth = np.arange(len(q))
+        top1 = float((order[:, 0] == truth).mean())
+        top5 = float((order[:, :5] == truth[:, None]).any(axis=1).mean())
+        return top1, top5
+
+    logger = MetricsLogger(args.log_dir, "stage1_synth")
+    rng = jax.random.key(args.seed + 1)
+    eval_key = jax.random.key(args.seed + 777_000)  # disjoint stream
+    ckpt_dir = Path(args.checkpoint_dir).absolute()
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    best_top1 = -1.0
+    prev_meta = ckpt_dir / "encoder_synth_best.json"
+    if prev_meta.exists():
+        best_top1 = float(json.loads(prev_meta.read_text())["top1"])
+        print(f"existing best top1 {best_top1:.3f} — only saving above it",
+              flush=True)
+
+    for i in range(total_steps):
+        stems, labels = synth_fn(jax.random.fold_in(rng, i))
+        state, metrics = step_fn(
+            state, {"stems": stems, "song_labels": labels}, rng)
+        step = int(state.step)
+        if step % args.log_interval == 0:
+            loss = float(metrics["total"])
+            logger.log(step, loss=loss)
+            print(f"step {step}/{total_steps}: loss={loss:.4f}", flush=True)
+        if step % args.eval_interval == 0 or step == total_steps:
+            variables = {"params": state.params, "batch_stats": state.batch_stats}
+            top1, top5 = retrieval_eval(variables, jax.random.fold_in(eval_key, step))
+            logger.log(step, top1=top1, top5=top5)
+            print(f"step {step}: retrieval top1 {top1:.3f} top5 {top5:.3f} "
+                  f"({args.eval_songs} songs)", flush=True)
+            if top1 > best_top1:
+                best_top1 = top1
+                save_params_npz(ckpt_dir / "encoder_synth_best.npz", variables)
+                prev_meta.write_text(json.dumps({
+                    "step": step, "top1": top1, "top5": top5,
+                    "eval_songs": args.eval_songs,
+                    "clip_duration": args.clip_duration,
+                    "sample_rate": args.sample_rate,
+                    "config": {
+                        "n_fft": args.n_fft, "hop_length": args.hop_length,
+                        "n_mels": args.n_mels, "mel_method": args.mel_method,
+                        "encoder_dim": args.encoder_dim,
+                        "band_split_size": args.band_split_size,
+                        "band_overlap": args.band_overlap,
+                    },
+                }, indent=2))
+
+    logger.close()
+    print(json.dumps({"final_step": int(state.step), "best_top1": best_top1}))
+
+
 def main(argv=None):
     args = get_params(argv)
+
+    if args.on_device_synth:
+        return _train_on_device_synth(args)
 
     import jax
     import jax.numpy as jnp

@@ -141,3 +141,18 @@ def synth_batch(key: jax.Array, batch: int, T: int,
     """(B, 4, 2, T) fresh stems from one key."""
     keys = jax.random.split(key, batch)
     return jax.vmap(lambda k: synth_stems(k, T, sample_rate))(keys)
+
+
+def synth_two_crop_batch(key: jax.Array, songs: int, T: int,
+                         sample_rate: float = 44100.0):
+    """Two-crop contrastive batch, synthesized on device: each "song" is one
+    2T-sample procedural piece whose halves become two same-song segments
+    (the FMA two-crop protocol, ref: src/data.py:230-268, with zero host
+    involvement).  Returns (stems (2*songs, 4, 2, T), labels (2*songs,))
+    ordered [song0_cropA, song0_cropB, song1_cropA, ...] so labels are
+    ``repeat(arange(songs), 2)`` — the stage-1 trainer's expected layout."""
+    stems2 = synth_batch(key, songs, 2 * T, sample_rate)  # (B, 4, 2, 2T)
+    crops = jnp.stack([stems2[..., :T], stems2[..., T:]], axis=1)
+    stems = crops.reshape(songs * 2, *stems2.shape[1:-1], T)
+    labels = jnp.repeat(jnp.arange(songs), 2)
+    return stems, labels

@@ -136,3 +136,77 @@ def test_eval_step_explicit_mesh(batch):
     loss, emb = eval_fn(state, batch)
     np.testing.assert_allclose(float(loss), float(loss0), rtol=1e-4)
     assert emb.shape == (8, TINY_CFG.encoder.embed_dim)
+
+
+def test_on_device_synth_cli(tmp_path):
+    """--on_device_synth trains with zero host data path and writes the
+    best-by-retrieval artifact (demonstration recipe, ROADMAP item 2)."""
+    import json
+
+    from mst_tpu.cli import train as cli
+
+    ckpt = tmp_path / "s1synth"
+    cli.main([
+        "--on_device_synth", "--checkpoint_dir", str(ckpt),
+        "--log_dir", str(tmp_path / "logs"),
+        "--sample_rate", "8000", "--clip_duration", "0.25",
+        "--n_fft", "256", "--hop_length", "64", "--n_mels", "32",
+        "--encoder_dim", "32", "--band_split_size", "8", "--band_overlap", "4",
+        "--batch_size", "4", "--max_steps", "2",
+        "--eval_interval", "2", "--eval_songs", "4", "--log_interval", "1",
+    ])
+    meta = json.loads((ckpt / "encoder_synth_best.json").read_text())
+    assert (ckpt / "encoder_synth_best.npz").exists()
+    assert 0.0 <= meta["top1"] <= 1.0 and meta["eval_songs"] == 4
+
+
+def test_trained_encoder_retrieval_regression():
+    """The committed trained encoder artifact must retrieve same-song crops
+    far above chance on fresh held-out synthetic songs (the encoder
+    counterpart of test_scnet.py's SI-SDR regression)."""
+    import json
+    from pathlib import Path
+
+    import jax
+
+    from mst_tpu.checkpoints.npz_io import load_params_npz
+    from mst_tpu.config import AudioConfig, EncoderConfig, FeatureConfig
+    from mst_tpu.models import MixingStyleEncoder
+    from mst_tpu.pipeline import embed_stems
+    from mst_tpu.separation.synth import synth_two_crop_batch
+
+    root = Path(__file__).resolve().parent.parent
+    ckpt = root / "artifacts" / "encoder_synth_best.npz"
+    meta_path = root / "artifacts" / "encoder_synth_best.json"
+    if not ckpt.exists():
+        pytest.skip("trained encoder artifact not committed yet")
+    meta = json.loads(meta_path.read_text())
+    c = meta["config"]
+    audio = AudioConfig(
+        sample_rate=meta["sample_rate"], clip_duration=meta["clip_duration"],
+        n_fft=c["n_fft"], hop_length=c["hop_length"], n_mels=c["n_mels"],
+        mel_method=c.get("mel_method", "rfft"),
+    )
+    ecfg = EncoderConfig(audio=audio, split_size=c["band_split_size"],
+                         overlap=c["band_overlap"], embed_dim=c["encoder_dim"])
+    enc = MixingStyleEncoder(ecfg)
+    variables = load_params_npz(ckpt)
+    fcfg = FeatureConfig(audio=audio)
+
+    M, chunk = 16, 4
+    qs, ps = [], []
+    key = jax.random.key(20260817)
+    for i in range(0, M, chunk):
+        stems, _ = synth_two_crop_batch(
+            jax.random.fold_in(key, i), chunk, audio.clip_samples,
+            float(audio.sample_rate))
+        emb = np.asarray(embed_stems(enc, variables, stems, fcfg), np.float32)
+        qs.append(emb[0::2])
+        ps.append(emb[1::2])
+    q = np.concatenate(qs)
+    p = np.concatenate(ps)
+    q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    p /= np.maximum(np.linalg.norm(p, axis=1, keepdims=True), 1e-12)
+    top1 = float((np.argmax(q @ p.T, axis=1) == np.arange(M)).mean())
+    # chance = 1/16; the committed artifact must be far above it
+    assert top1 >= 0.5, top1
