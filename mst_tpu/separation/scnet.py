@@ -51,6 +51,10 @@ class SCNetConfig:
     # dual-path core
     num_dplayers: int = 6
     rnn_hidden: int = 128
+    # lax.scan unroll factor for the LSTM scans: bigger blocks pipeline
+    # better on the TPU (fewer loop iterations, fused per-block HLO) with
+    # bit-identical math and an unchanged parameter tree
+    rnn_unroll: int = 8
 
     @property
     def n_freqs(self) -> int:
@@ -165,17 +169,74 @@ class SULayer(nn.Module):
         return jnp.concatenate(outs, axis=1)
 
 
+class _LSTMGates(nn.Module):
+    """Parameter container matching ``nn.OptimizedLSTMCell``'s tree exactly
+    ({ii,if,ig,io} bias-free input kernels + {hi,hf,hg,ho} hidden kernels
+    with bias) so the fused scan below is checkpoint-interchangeable with
+    the flax cell."""
+
+    hidden: int
+
+    def setup(self):
+        H = self.hidden
+        self.inp = [nn.Dense(H, use_bias=False, name=f"i{g}") for g in "ifgo"]
+        self.hid = [nn.Dense(H, use_bias=True, name=f"h{g}") for g in "ifgo"]
+
+
+def _fused_lstm_scan(cell: _LSTMGates, x: jax.Array, reverse: bool,
+                     unroll: int) -> jax.Array:
+    """One LSTM direction with the input projections hoisted out of the
+    scan: the four x_t @ W_i* products for EVERY timestep run as one big
+    sequence-level GEMM on the MXU, leaving only the (B, H) @ (H, 4H)
+    recurrent product inside the (unrolled) ``lax.scan``.  Bit-equivalent
+    to ``nn.RNN(nn.OptimizedLSTMCell(H))`` (parity-tested in
+    tests/test_scnet.py) with the same parameter tree; ~half the
+    scan-resident FLOPs."""
+    H = cell.hidden
+    if reverse:
+        x = jnp.flip(x, 1)
+    # hoisted input projections (i, f, g, o), one pass over the sequence
+    zx = jnp.concatenate([d(x) for d in cell.inp], axis=-1)  # (B, L, 4H)
+    # materialize the recurrent kernels, then scan with their raw values
+    _ = [d(jnp.zeros((1, H), x.dtype)) for d in cell.hid]
+    Wh = jnp.concatenate(
+        [d.variables["params"]["kernel"] for d in cell.hid], axis=1)
+    bh = jnp.concatenate([d.variables["params"]["bias"] for d in cell.hid])
+
+    def step(carry, zxt):
+        c, h = carry
+        z = zxt + h @ Wh + bh
+        i, f, g, o = jnp.split(z, 4, axis=-1)
+        c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h = jax.nn.sigmoid(o) * jnp.tanh(c)
+        return (c, h), h
+
+    init = (jnp.zeros((x.shape[0], H), x.dtype),
+            jnp.zeros((x.shape[0], H), x.dtype))
+    _, hs = jax.lax.scan(step, init, jnp.swapaxes(zx, 0, 1), unroll=unroll)
+    hs = jnp.swapaxes(hs, 0, 1)
+    if reverse:
+        hs = jnp.flip(hs, 1)
+    return hs
+
+
 class BiRNN(nn.Module):
-    """Bidirectional LSTM over axis 1 of (B, L, C) + dense projection."""
+    """Bidirectional LSTM over axis 1 of (B, L, C) + dense projection.
+
+    Cell submodule names (OptimizedLSTMCell_0 = forward, _1 = backward)
+    match the original ``nn.RNN(nn.OptimizedLSTMCell(H))`` auto-naming so
+    existing checkpoints load unchanged into the fused scan."""
 
     hidden: int
     out: int
+    unroll: int = 1
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        fwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden), name="fwd")(x)
-        bwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden), reverse=True,
-                     keep_order=True, name="bwd")(x)
+        cf = _LSTMGates(self.hidden, name="OptimizedLSTMCell_0")
+        cb = _LSTMGates(self.hidden, name="OptimizedLSTMCell_1")
+        fwd = _fused_lstm_scan(cf, x, reverse=False, unroll=self.unroll)
+        bwd = _fused_lstm_scan(cb, x, reverse=True, unroll=self.unroll)
         h = jnp.concatenate([fwd, bwd], axis=-1)
         return nn.Dense(self.out, name="proj")(h)
 
@@ -186,6 +247,7 @@ class DualPathLayer(nn.Module):
 
     channels: int
     rnn_hidden: int
+    rnn_unroll: int = 1
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -193,13 +255,15 @@ class DualPathLayer(nn.Module):
         # frequency path
         h = nn.LayerNorm(name="freq_norm")(x)
         h = h.transpose(0, 2, 1, 3).reshape(B * T, F, C)
-        h = BiRNN(self.rnn_hidden, C, name="freq_rnn")(h)
+        h = BiRNN(self.rnn_hidden, C, unroll=self.rnn_unroll,
+                  name="freq_rnn")(h)
         h = h.reshape(B, T, F, C).transpose(0, 2, 1, 3)
         x = x + h
         # time path
         h = nn.LayerNorm(name="time_norm")(x)
         h = h.reshape(B * F, T, C)
-        h = BiRNN(self.rnn_hidden, C, name="time_rnn")(h)
+        h = BiRNN(self.rnn_hidden, C, unroll=self.rnn_unroll,
+                  name="time_rnn")(h)
         h = h.reshape(B, F, T, C)
         return x + h
 
@@ -231,7 +295,8 @@ class SCNet(nn.Module):
             freqs.append(x.shape[1])
 
         for i in range(c.num_dplayers):
-            x = DualPathLayer(c.dims[-1], c.rnn_hidden, name=f"dp{i}")(x)
+            x = DualPathLayer(c.dims[-1], c.rnn_hidden, c.rnn_unroll,
+                              name=f"dp{i}")(x)
 
         for i in reversed(range(len(c.dims) - 1)):
             out_dim = c.dims[i] if i > 0 else c.dims[1]

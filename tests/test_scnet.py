@@ -148,3 +148,35 @@ def test_separator_wrapper(rng):
     mix = rng.standard_normal((2, 12000)).astype(np.float32) * 0.3
     stems = sep.separate(mix)
     assert stems.shape == (4, 2, 12000)
+
+
+def test_fused_birnn_matches_flax_rnn(rng):
+    """BiRNN's fused scan (input GEMMs hoisted out of the scan) must
+    reproduce the original nn.RNN(nn.OptimizedLSTMCell) implementation
+    under the SAME parameter tree — guards checkpoint compatibility of the
+    committed artifact with the fused core."""
+    import flax.linen as nn
+    from mst_tpu.separation.scnet import BiRNN
+
+    H, OUT, B, L, C = 12, 7, 3, 25, 7
+
+    class FlaxBiRNN(nn.Module):  # the round-2 original, for parity only
+        @nn.compact
+        def __call__(self, x):
+            fwd = nn.RNN(nn.OptimizedLSTMCell(H), name="fwd")(x)
+            bwd = nn.RNN(nn.OptimizedLSTMCell(H), reverse=True,
+                         keep_order=True, name="bwd")(x)
+            return nn.Dense(OUT, name="proj")(
+                jnp.concatenate([fwd, bwd], axis=-1))
+
+    x = jnp.asarray(rng.standard_normal((B, L, C)).astype(np.float32))
+    ref = FlaxBiRNN()
+    vref = ref.init(jax.random.key(3), x)
+    fused = BiRNN(H, OUT, unroll=4)
+    vnew = fused.init(jax.random.key(4), x)
+    assert jax.tree.structure(vref) == jax.tree.structure(vnew), (
+        jax.tree.structure(vref), jax.tree.structure(vnew))
+    y_ref = ref.apply(vref, x)
+    y_new = fused.apply(vref, x)  # flax-cell params into the fused scan
+    np.testing.assert_allclose(np.asarray(y_ref), np.asarray(y_new),
+                               atol=1e-5, rtol=1e-5)
