@@ -84,8 +84,20 @@ class SCNetSeparator:
         None for untrained weights.  For a ``.npz`` with a sibling ``.json``
         metadata file (written by cli/train_separation.py), the SCNet config
         and training chunk length are read from it so the separator runs at
-        the resolution it was trained at."""
+        the resolution it was trained at.
+
+        With ``checkpoint_dir=None`` and no explicit ``cfg``, the repo's
+        committed demonstration artifact (artifacts/scnet_synth_best.npz)
+        is used when present — the reference likewise ships a default
+        pretrained checkpoint path (ref:
+        inference/inference_e2e_style_transfer.py:200-205); untrained
+        weights are the last resort."""
         meta = None
+        if checkpoint_dir is None and cfg is None:
+            default = (Path(__file__).resolve().parents[2]
+                       / "artifacts" / "scnet_synth_best.npz")
+            if default.exists():
+                checkpoint_dir = str(default)
         path = Path(str(checkpoint_dir)) if checkpoint_dir is not None else None
         if path is not None and path.suffix == ".npz":
             meta_path = path.with_suffix(".json")

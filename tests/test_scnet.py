@@ -180,3 +180,20 @@ def test_fused_birnn_matches_flax_rnn(rng):
     y_new = fused.apply(vref, x)  # flax-cell params into the fused scan
     np.testing.assert_allclose(np.asarray(y_ref), np.asarray(y_new),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_separator_defaults_to_committed_artifact(rng):
+    """from_checkpoint(None) must pick up the repo's trained artifact (the
+    reference ships a default pretrained path the same way,
+    inference_e2e_style_transfer.py:200-205)."""
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    if not (root / "artifacts" / "scnet_synth_best.npz").exists():
+        pytest.skip("trained SCNet artifact not committed yet")
+    sep = SCNetSeparator.from_checkpoint(None)
+    assert sep.chunk_seconds == 2.0  # from the artifact's metadata json
+    mix = rng.standard_normal((2, 2 * 44100)).astype(np.float32) * 0.1
+    stems = sep.separate(mix)
+    assert stems.shape == (4, 2, 2 * 44100)
+    assert np.isfinite(stems).all()
