@@ -25,6 +25,17 @@ def get_params(argv=None):
     p = argparse.ArgumentParser(description="TCN style transfer training (TPU)")
     p.add_argument("--separated_path", type=str, default=None)
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--on_device_synth", action="store_true",
+                   help="(input, target) pairs synthesized INSIDE the step "
+                        "(separation/synth.py); pairs with the trained "
+                        "encoder artifact via --encoder_npz; saves a "
+                        "best-by-improvement TCN .npz artifact")
+    p.add_argument("--encoder_npz", type=str, default=None,
+                   help="frozen-encoder .npz artifact "
+                        "(cli/train.py --on_device_synth output); its "
+                        "sibling .json supplies the encoder config")
+    p.add_argument("--eval_interval", type=int, default=250)
+    p.add_argument("--eval_pairs", type=int, default=16)
     p.add_argument("--num_workers", type=int, default=4)
     add_audio_args(p)
     add_model_args(p)
@@ -60,8 +71,152 @@ def get_params(argv=None):
     return p.parse_args(argv)
 
 
+def _encoder_from_npz(npz_path):
+    """(enc, variables, EncoderConfig, FeatureConfig) from a trained
+    encoder artifact + its sibling metadata json."""
+    from mst_tpu.checkpoints.npz_io import load_params_npz
+    from mst_tpu.config import AudioConfig, EncoderConfig, FeatureConfig
+    from mst_tpu.models import MixingStyleEncoder
+
+    path = Path(npz_path)
+    meta = json.loads(path.with_suffix(".json").read_text())
+    c = meta["config"]
+    audio = AudioConfig(
+        sample_rate=meta["sample_rate"], clip_duration=meta["clip_duration"],
+        n_fft=c["n_fft"], hop_length=c["hop_length"], n_mels=c["n_mels"],
+        mel_method=c.get("mel_method", "rfft"),
+    )
+    ecfg = EncoderConfig(audio=audio, split_size=c["band_split_size"],
+                         overlap=c["band_overlap"], embed_dim=c["encoder_dim"])
+    return (MixingStyleEncoder(ecfg), load_params_npz(path), ecfg,
+            FeatureConfig(audio=audio))
+
+
+def _train_on_device_synth(args):
+    """FiLM-TCN style-transfer training on device-synthesized (input,
+    target) pairs with a frozen trained encoder: completes the fully
+    trained reference stack (separator + encoder + TCN) with zero host
+    data path.  Eval = mean e2e embedding-distance improvement
+    (apply_style_transfer) on held-out pairs; best artifact saved as
+    <checkpoint_dir>/tcn_synth_best.npz."""
+    import jax
+    import jax.numpy as jnp
+
+    from mst_tpu.checkpoints.npz_io import save_params_npz
+    from mst_tpu.cli._common import MetricsLogger
+    from mst_tpu.config import StyleTransferConfig, TCNConfig
+    from mst_tpu.separation.synth import synth_batch
+    from mst_tpu.train import (
+        apply_style_transfer,
+        create_style_transfer_state,
+        make_style_transfer_step,
+    )
+
+    if not args.encoder_npz:
+        raise SystemExit("--on_device_synth requires --encoder_npz "
+                         "(trained encoder artifact)")
+    enc, enc_vars, ecfg, fcfg = _encoder_from_npz(args.encoder_npz)
+    print(f"frozen encoder from {args.encoder_npz} ({ecfg.embed_dim}-d)")
+
+    cfg = StyleTransferConfig(
+        encoder=ecfg, features=fcfg,
+        tcn=TCNConfig(
+            hidden_channels=args.hidden_channels,
+            num_blocks=args.num_blocks,
+            kernel_size=args.kernel_size,
+            causal=args.causal,
+            use_film=True,
+            film_embed_dim=2 * ecfg.embed_dim,
+        ),
+        batch_size=args.batch_size,
+        grad_accum_steps=args.gradient_accumulation_steps,
+        learning_rate=args.learning_rate,
+        use_cycle_consistency=args.use_cycle_consistency,
+        cycle_weight=args.lambda_cycle,
+        seed=args.seed,
+    )
+    total_steps = args.max_steps or 2000
+    T = ecfg.audio.clip_samples
+    sr = float(ecfg.audio.sample_rate)
+    B = args.batch_size
+
+    state, tcn, gen, tx = create_style_transfer_state(
+        cfg, jax.random.key(args.seed), total_steps)
+    step_fn = make_style_transfer_step(cfg, enc, enc_vars, tcn, gen, tx)
+
+    @jax.jit
+    def synth_pair(key):
+        ki, kt = jax.random.split(key)
+        return {"input_stems": synth_batch(ki, B, T, sr),
+                "target_stems": synth_batch(kt, B, T, sr)}
+
+    @jax.jit
+    def eval_pair(state, key):
+        ki, kt = jax.random.split(key)
+        inp = synth_batch(ki, args.eval_pairs, T, sr)
+        tgt = synth_batch(kt, args.eval_pairs, T, sr)
+        _, m = apply_style_transfer(cfg, enc, enc_vars, tcn, gen, state,
+                                    inp, tgt)
+        return (jnp.mean(m["improvement"]), jnp.mean(m["initial_distance"]),
+                jnp.mean(m["final_distance"]))
+
+    logger = MetricsLogger(args.log_dir, "style_transfer_synth")
+    rng = jax.random.key(args.seed + 1)
+    eval_key = jax.random.key(args.seed + 777_000)
+    ckpt_dir = Path(args.checkpoint_dir).absolute()
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    best_imp = -1e9
+    prev_meta = ckpt_dir / "tcn_synth_best.json"
+    if prev_meta.exists():
+        best_imp = float(json.loads(prev_meta.read_text())["improvement"])
+        print(f"existing best improvement {best_imp:.3f} — only saving above")
+
+    for i in range(total_steps):
+        batch = synth_pair(jax.random.fold_in(rng, i))
+        state, metrics = step_fn(state, batch, rng)
+        step = int(state.step)
+        if step % args.log_interval == 0:
+            scalars = {k: float(v) for k, v in metrics.items()}
+            logger.log(step, **scalars)
+            print(f"step {step}/{total_steps}: " +
+                  " ".join(f"{k}={v:.4f}" for k, v in scalars.items()),
+                  flush=True)
+        if step % args.eval_interval == 0 or step == total_steps:
+            imp, d0, d1 = (float(x) for x in
+                           eval_pair(state, jax.random.fold_in(eval_key, step)))
+            logger.log(step, improvement=imp)
+            print(f"step {step}: e2e improvement {imp:.3f} "
+                  f"(distance {d0:.4f} -> {d1:.4f}, {args.eval_pairs} pairs)",
+                  flush=True)
+            if imp >= best_imp:
+                best_imp = imp
+                save_params_npz(ckpt_dir / "tcn_synth_best.npz", {
+                    "tcn_params": state.tcn_params,
+                    "tcn_batch_stats": state.tcn_batch_stats,
+                    "film_params": state.film_params,
+                })
+                prev_meta.write_text(json.dumps({
+                    "step": step, "improvement": imp,
+                    "initial_distance": d0, "final_distance": d1,
+                    "eval_pairs": args.eval_pairs,
+                    "encoder_npz": str(args.encoder_npz),
+                    "tcn": {"hidden_channels": args.hidden_channels,
+                            "num_blocks": args.num_blocks,
+                            "kernel_size": args.kernel_size,
+                            "causal": args.causal,
+                            "film_embed_dim": 2 * ecfg.embed_dim},
+                }, indent=2))
+
+    logger.close()
+    print(json.dumps({"final_step": int(state.step),
+                      "best_improvement": best_imp}))
+
+
 def main(argv=None):
     args = get_params(argv)
+
+    if args.on_device_synth:
+        return _train_on_device_synth(args)
 
     import jax
 

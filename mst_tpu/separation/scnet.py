@@ -55,6 +55,14 @@ class SCNetConfig:
     # better on the TPU (fewer loop iterations, fused per-block HLO) with
     # bit-identical math and an unchanged parameter tree
     rnn_unroll: int = 8
+    # 'flax' = nn.RNN(OptimizedLSTMCell); 'fused' = input GEMMs hoisted out
+    # of the scan.  Same parameter tree and same math (parity-tested), but
+    # different memory behavior: hoisting materializes (B·L, 4H)
+    # pre-activations in HBM — measured SLOWER for the v5e-1 separation
+    # shapes (27 vs 41 clips/s full pipeline), where recomputing the input
+    # projections in-scan is cheaper than the extra HBM traffic.  Kept for
+    # small-C/large-H shapes where the trade reverses.
+    rnn_impl: str = "flax"
 
     @property
     def n_freqs(self) -> int:
@@ -223,20 +231,27 @@ def _fused_lstm_scan(cell: _LSTMGates, x: jax.Array, reverse: bool,
 class BiRNN(nn.Module):
     """Bidirectional LSTM over axis 1 of (B, L, C) + dense projection.
 
-    Cell submodule names (OptimizedLSTMCell_0 = forward, _1 = backward)
-    match the original ``nn.RNN(nn.OptimizedLSTMCell(H))`` auto-naming so
-    existing checkpoints load unchanged into the fused scan."""
+    Both impls share one parameter tree (the fused gates containers are
+    named OptimizedLSTMCell_0/1 to match flax's auto-naming), so
+    checkpoints are interchangeable; see SCNetConfig.rnn_impl."""
 
     hidden: int
     out: int
     unroll: int = 1
+    impl: str = "flax"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        cf = _LSTMGates(self.hidden, name="OptimizedLSTMCell_0")
-        cb = _LSTMGates(self.hidden, name="OptimizedLSTMCell_1")
-        fwd = _fused_lstm_scan(cf, x, reverse=False, unroll=self.unroll)
-        bwd = _fused_lstm_scan(cb, x, reverse=True, unroll=self.unroll)
+        if self.impl == "fused":
+            cf = _LSTMGates(self.hidden, name="OptimizedLSTMCell_0")
+            cb = _LSTMGates(self.hidden, name="OptimizedLSTMCell_1")
+            fwd = _fused_lstm_scan(cf, x, reverse=False, unroll=self.unroll)
+            bwd = _fused_lstm_scan(cb, x, reverse=True, unroll=self.unroll)
+        else:
+            fwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden),
+                         unroll=self.unroll, name="fwd")(x)
+            bwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden), reverse=True,
+                         keep_order=True, unroll=self.unroll, name="bwd")(x)
         h = jnp.concatenate([fwd, bwd], axis=-1)
         return nn.Dense(self.out, name="proj")(h)
 
@@ -248,6 +263,7 @@ class DualPathLayer(nn.Module):
     channels: int
     rnn_hidden: int
     rnn_unroll: int = 1
+    rnn_impl: str = "flax"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -256,14 +272,14 @@ class DualPathLayer(nn.Module):
         h = nn.LayerNorm(name="freq_norm")(x)
         h = h.transpose(0, 2, 1, 3).reshape(B * T, F, C)
         h = BiRNN(self.rnn_hidden, C, unroll=self.rnn_unroll,
-                  name="freq_rnn")(h)
+                  impl=self.rnn_impl, name="freq_rnn")(h)
         h = h.reshape(B, T, F, C).transpose(0, 2, 1, 3)
         x = x + h
         # time path
         h = nn.LayerNorm(name="time_norm")(x)
         h = h.reshape(B * F, T, C)
         h = BiRNN(self.rnn_hidden, C, unroll=self.rnn_unroll,
-                  name="time_rnn")(h)
+                  impl=self.rnn_impl, name="time_rnn")(h)
         h = h.reshape(B, F, T, C)
         return x + h
 
@@ -296,7 +312,7 @@ class SCNet(nn.Module):
 
         for i in range(c.num_dplayers):
             x = DualPathLayer(c.dims[-1], c.rnn_hidden, c.rnn_unroll,
-                              name=f"dp{i}")(x)
+                              c.rnn_impl, name=f"dp{i}")(x)
 
         for i in reversed(range(len(c.dims) - 1)):
             out_dim = c.dims[i] if i > 0 else c.dims[1]

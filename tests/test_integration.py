@@ -134,3 +134,39 @@ def test_train_style_transfer_cli_fx_encoder(tmp_path):
     assert meta["encoder_type"] == "fx_encoder"
     assert meta["encoder_dim"] == 16
     assert (ckpt / "final").exists()
+
+
+def test_style_transfer_cli_on_device_synth(tmp_path):
+    """Full synthetic pipeline glue: stage-1 synth training produces the
+    encoder artifact, then the style-transfer CLI consumes it via
+    --encoder_npz and writes a best-by-improvement TCN artifact."""
+    import json
+
+    from mst_tpu.cli import train as s1_cli
+    from mst_tpu.cli import train_style_transfer as st_cli
+
+    enc_dir = tmp_path / "enc"
+    common = [
+        "--sample_rate", "8000", "--clip_duration", "0.25",
+        "--n_fft", "256", "--hop_length", "64", "--n_mels", "32",
+        "--encoder_dim", "32", "--band_split_size", "8", "--band_overlap", "4",
+    ]
+    s1_cli.main([
+        "--on_device_synth", "--checkpoint_dir", str(enc_dir),
+        "--log_dir", str(tmp_path / "logs"), *common,
+        "--batch_size", "4", "--max_steps", "2",
+        "--eval_interval", "2", "--eval_songs", "4", "--log_interval", "1",
+    ])
+    st_dir = tmp_path / "st"
+    st_cli.main([
+        "--on_device_synth", "--checkpoint_dir", str(st_dir),
+        "--log_dir", str(tmp_path / "logs"), *common,
+        "--encoder_npz", str(enc_dir / "encoder_synth_best.npz"),
+        "--hidden_channels", "8", "--num_blocks", "2", "--kernel_size", "5",
+        "--batch_size", "2", "--gradient_accumulation_steps", "2",
+        "--max_steps", "4", "--eval_interval", "4", "--eval_pairs", "2",
+        "--log_interval", "2", "--no_cycle_consistency",
+    ])
+    meta = json.loads((st_dir / "tcn_synth_best.json").read_text())
+    assert (st_dir / "tcn_synth_best.npz").exists()
+    assert meta["tcn"]["hidden_channels"] == 8

@@ -172,7 +172,7 @@ def test_fused_birnn_matches_flax_rnn(rng):
     x = jnp.asarray(rng.standard_normal((B, L, C)).astype(np.float32))
     ref = FlaxBiRNN()
     vref = ref.init(jax.random.key(3), x)
-    fused = BiRNN(H, OUT, unroll=4)
+    fused = BiRNN(H, OUT, unroll=4, impl="fused")
     vnew = fused.init(jax.random.key(4), x)
     assert jax.tree.structure(vref) == jax.tree.structure(vnew), (
         jax.tree.structure(vref), jax.tree.structure(vnew))
