@@ -63,6 +63,10 @@ def get_params(argv=None):
     p.add_argument("--no_cycle_consistency", dest="use_cycle_consistency",
                    action="store_false")
     p.add_argument("--lambda_cycle", type=float, default=0.1)
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize TCN blocks + output-embedding "
+                        "encoder pass in backward (full 10 s clips fit in "
+                        "one chip's HBM; trades FLOPs for memory)")
     p.add_argument("--log_interval", type=int, default=10)
     p.add_argument("--checkpoint_dir", type=str, default="checkpoints_st/")
     p.add_argument("--log_dir", type=str, default="logs/")
@@ -127,12 +131,14 @@ def _train_on_device_synth(args):
             causal=args.causal,
             use_film=True,
             film_embed_dim=2 * ecfg.embed_dim,
+            remat=args.remat,
         ),
         batch_size=args.batch_size,
         grad_accum_steps=args.gradient_accumulation_steps,
         learning_rate=args.learning_rate,
         use_cycle_consistency=args.use_cycle_consistency,
         cycle_weight=args.lambda_cycle,
+        remat_embed=args.remat,
         seed=args.seed,
     )
     total_steps = args.max_steps or 2000
@@ -268,6 +274,7 @@ def main(argv=None):
             causal=args.causal,
             use_film=True,
             film_embed_dim=2 * cond_dim,
+            remat=args.remat,
         ),
         batch_size=args.batch_size,
         grad_accum_steps=args.gradient_accumulation_steps,

@@ -124,6 +124,9 @@ class TCNConfig:
     use_film: bool = True
     film_embed_dim: int = 1536  # concat(input_emb, target_emb)
     film_hidden_dim: int = 512
+    # rematerialize block activations in backward (10 s clips: ~56 GB ->
+    # fits on one v5e chip; see models/tcn.py)
+    remat: bool = False
 
     @property
     def receptive_field(self) -> int:
@@ -176,6 +179,9 @@ class StyleTransferConfig:
     num_epochs: int = 50
     use_cycle_consistency: bool = True
     cycle_weight: float = 0.1
+    # recompute the output-embedding encoder pass in backward instead of
+    # storing its mel/CNN activations (pairs with TCNConfig.remat)
+    remat_embed: bool = False
     seed: int = 42
     mesh_shape: Tuple[int, ...] = (1,)
     mesh_axes: Tuple[str, ...] = ("data",)

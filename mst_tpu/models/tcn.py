@@ -70,7 +70,8 @@ class TCNBlock(nn.Module):
     use_film: bool = False
 
     @nn.compact
-    def __call__(self, x, film=None, *, train: bool = False):
+    def __call__(self, x, film=None, train: bool = False):
+        # NOTE: ``train`` is positional so nn.remat can mark it static.
         residual = x
         h = _DilatedConv(self.channels, self.kernel_size, self.dilation,
                          self.causal, name="conv1")(x)
@@ -112,14 +113,21 @@ class TCNMixer(nn.Module):
         if c.use_film and film is None:
             raise ValueError("film params required when use_film=True")
         h = nn.Conv(c.hidden_channels, (1,), name="input_conv")(x)
+        # remat: recompute block activations in the backward pass instead of
+        # storing them — at 10 s / 44.1 kHz each block holds a (B, 441k, H)
+        # activation, and without remat the style-transfer train step wants
+        # ~56 GB of HBM (jax.checkpoint trades those for FLOPs; the MXU has
+        # them to spare)
+        # static_argnums indexes the remat-traced (module, x, film, train)
+        Block = nn.remat(TCNBlock, static_argnums=(3,)) if c.remat else TCNBlock
         for i in range(c.num_blocks):
             blk_film = None
             if c.use_film:
                 blk_film = tuple(f[:, i, :] for f in film)
-            h = TCNBlock(
+            h = Block(
                 c.hidden_channels, c.kernel_size, 2**i, c.causal,
                 c.use_film, name=f"block_{i}",
-            )(h, blk_film, train=train)
+            )(h, blk_film, train)
         out = nn.Conv(
             c.in_channels, (1,),
             kernel_init=nn.initializers.normal(1e-3),

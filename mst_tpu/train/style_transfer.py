@@ -110,6 +110,10 @@ def make_style_transfer_step(
         def embed(stems):
             return embed_stems(enc, enc_variables, stems, fcfg)
 
+    # grads flow through the output embedding; remat recomputes the
+    # encoder's mel/CNN activations in backward instead of storing them
+    grad_embed = jax.checkpoint(embed) if cfg.remat_embed else embed
+
     def loss_fn(params, tcn_stats, batch, rng):
         inp = batch["input_stems"]
         tgt = batch["target_stems"]
@@ -132,7 +136,7 @@ def make_style_transfer_step(
         out_stems = nlc_to_stems(out)
 
         # grads flow through the frozen encoder + differentiable features
-        out_emb = embed(out_stems)
+        out_emb = grad_embed(out_stems)
 
         o = out_emb / jnp.maximum(jnp.linalg.norm(out_emb, axis=1, keepdims=True), 1e-12)
         t = target_emb / jnp.maximum(jnp.linalg.norm(target_emb, axis=1, keepdims=True), 1e-12)
