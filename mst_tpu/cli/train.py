@@ -37,6 +37,13 @@ def get_params(argv=None):
     p.add_argument("--eval_interval", type=int, default=500)
     p.add_argument("--eval_songs", type=int, default=64,
                    help="held-out synthetic songs for retrieval eval")
+    p.add_argument("--matmul_precision", choices=("default", "highest"),
+                   default="default",
+                   help="'highest' trains with f32-equivalent matmuls (3-pass "
+                        "bf16 on TPU): ~2x slower but the artifact becomes "
+                        "platform-portable — embeddings match CPU f32 "
+                        "inference instead of drifting with TPU bf16 "
+                        "semantics")
     p.add_argument("--num_workers", type=int, default=4)
     add_audio_args(p)
     add_model_args(p)
@@ -93,6 +100,14 @@ def load_song_id_cache(path):
 
 
 def _train_on_device_synth(args):
+    import jax
+
+    with jax.default_matmul_precision(
+            "highest" if args.matmul_precision == "highest" else "bfloat16"):
+        return _train_on_device_synth_inner(args)
+
+
+def _train_on_device_synth_inner(args):
     """Stage-1 contrastive training with on-device synthesized two-crop
     batches (no corpus, no host data path — the demonstration recipe, like
     train_separation --on_device_synth).  Eval = same-song retrieval over
@@ -211,6 +226,7 @@ def _train_on_device_synth(args):
                     "eval_songs": args.eval_songs,
                     "clip_duration": args.clip_duration,
                     "sample_rate": args.sample_rate,
+                    "matmul_precision": args.matmul_precision,
                     "config": {
                         "n_fft": args.n_fft, "hop_length": args.hop_length,
                         "n_mels": args.n_mels, "mel_method": args.mel_method,

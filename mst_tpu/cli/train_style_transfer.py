@@ -36,6 +36,10 @@ def get_params(argv=None):
                         "sibling .json supplies the encoder config")
     p.add_argument("--eval_interval", type=int, default=250)
     p.add_argument("--eval_pairs", type=int, default=16)
+    p.add_argument("--matmul_precision", choices=("default", "highest"),
+                   default="default",
+                   help="'highest' = f32-equivalent matmuls (platform-"
+                        "portable artifacts; ~2x slower on TPU)")
     p.add_argument("--num_workers", type=int, default=4)
     add_audio_args(p)
     add_model_args(p)
@@ -97,6 +101,14 @@ def _encoder_from_npz(npz_path):
 
 
 def _train_on_device_synth(args):
+    import jax
+
+    with jax.default_matmul_precision(
+            "highest" if args.matmul_precision == "highest" else "bfloat16"):
+        return _train_on_device_synth_inner(args)
+
+
+def _train_on_device_synth_inner(args):
     """FiLM-TCN style-transfer training on device-synthesized (input,
     target) pairs with a frozen trained encoder: completes the fully
     trained reference stack (separator + encoder + TCN) with zero host
@@ -206,6 +218,7 @@ def _train_on_device_synth(args):
                     "initial_distance": d0, "final_distance": d1,
                     "eval_pairs": args.eval_pairs,
                     "encoder_npz": str(args.encoder_npz),
+                    "matmul_precision": args.matmul_precision,
                     "tcn": {"hidden_channels": args.hidden_channels,
                             "num_blocks": args.num_blocks,
                             "kernel_size": args.kernel_size,

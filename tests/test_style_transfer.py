@@ -176,3 +176,68 @@ def test_fx_encoder_mode(setup):
     )
     assert out.shape == batch["input_stems"].shape
     assert np.isfinite(np.asarray(m["final_distance"])).all()
+
+
+def test_trained_tcn_artifact_improves_fresh_pairs():
+    """The committed trained FiLM-TCN artifact must reduce embedding
+    distance toward the target on fresh held-out synthetic pairs (the
+    reference's convergence criterion is a >=20% per-pair reduction,
+    test_tcn_style_transfer.py:200; the one-shot FiLM transfer here must
+    clear a 10% mean bar)."""
+    import json
+    from pathlib import Path
+
+    from mst_tpu.checkpoints.npz_io import load_params_npz
+    from mst_tpu.cli.train_style_transfer import _encoder_from_npz
+    from mst_tpu.separation.synth import synth_batch
+    from mst_tpu.train.style_transfer import StyleTransferState
+
+    root = Path(__file__).resolve().parent.parent
+    ckpt = root / "artifacts" / "tcn_synth_best.npz"
+    meta_path = root / "artifacts" / "tcn_synth_best.json"
+    if not ckpt.exists():
+        pytest.skip("trained TCN artifact not committed yet")
+    meta = json.loads(meta_path.read_text())
+    enc, enc_vars, ecfg, fcfg = _encoder_from_npz(
+        root / "artifacts" / Path(meta["encoder_npz"]).name)
+    t = meta["tcn"]
+    cfg = StyleTransferConfig(
+        encoder=ecfg, features=fcfg,
+        tcn=TCNConfig(hidden_channels=t["hidden_channels"],
+                      num_blocks=t["num_blocks"], kernel_size=t["kernel_size"],
+                      causal=t["causal"], use_film=True,
+                      film_embed_dim=t["film_embed_dim"]),
+    )
+    from mst_tpu.models import TCNMixer, TCNFiLMGenerator
+
+    tcn = TCNMixer(cfg.tcn)
+    gen = TCNFiLMGenerator(cfg.tcn)
+    w = load_params_npz(ckpt)
+    state = StyleTransferState(
+        tcn_params=w["tcn_params"], tcn_batch_stats=w["tcn_batch_stats"],
+        film_params=w["film_params"], opt_state=(),
+        step=jnp.zeros((), jnp.int32))
+
+    T = ecfg.audio.clip_samples
+    key = jax.random.key(20260817)
+    d0s, d1s, imps = [], [], []
+    for i in range(2):  # 4 pairs in 2 small batches (bounds CPU memory)
+        k1, k2 = jax.random.split(jax.random.fold_in(key, i))
+        inp = synth_batch(k1, 2, T, float(ecfg.audio.sample_rate))
+        tgt = synth_batch(k2, 2, T, float(ecfg.audio.sample_rate))
+        _, m = apply_style_transfer(cfg, enc, enc_vars, tcn, gen, state,
+                                    inp, tgt)
+        d0s += list(np.asarray(m["initial_distance"]))
+        d1s += list(np.asarray(m["final_distance"]))
+        imps += list(np.asarray(m["improvement"]))
+    d0s, imps = np.asarray(d0s), np.asarray(imps)
+    assert np.isfinite(imps).all()
+    # The transfer regime is DISTINCTIVE pairs — large initial style
+    # distance (the reference evaluates the same way, via
+    # select_distinctive_pairs; ref run_distinctive_pairs_transfer.py).
+    # Near-identical pairs (tiny initial distance) are out of scope and
+    # numerically unstable across platforms.
+    distinct = d0s >= 0.6
+    assert distinct.any(), d0s
+    mean_imp = float(imps[distinct].mean())
+    assert mean_imp >= 0.2, (mean_imp, d0s, d1s)
