@@ -33,6 +33,10 @@ def get_params(argv=None):
     add_audio_args(p)
     add_model_args(p)
     p.add_argument("--encoder_checkpoint", type=str, default=None)
+    p.add_argument("--encoder_npz", type=str, default=None,
+                   help="trained encoder .npz artifact (cli/train.py "
+                        "--on_device_synth output); its sibling .json "
+                        "overrides the encoder config flags")
     p.add_argument("--encoder_checkpoint_torch", type=str, default=None)
     # ref: inference_e2e_style_transfer.py:7 — mixture-based 128-d variant
     p.add_argument("--encoder_type", type=str, default="mixing_style",
@@ -40,6 +44,10 @@ def get_params(argv=None):
     p.add_argument("--fx_encoder_checkpoint", type=str, default=None)
     p.add_argument("--fx_embed_dim", type=int, default=128)
     p.add_argument("--tcn_checkpoint", type=str, default=None)
+    p.add_argument("--tcn_npz", type=str, default=None,
+                   help="trained FiLM-TCN .npz artifact "
+                        "(cli/train_style_transfer --on_device_synth "
+                        "output); overrides --tcn_checkpoint")
     p.add_argument("--scnet_checkpoint", type=str, default=None,
                    help="SCNet separation weights (orbax)")
     p.add_argument("--hidden_channels", type=int, default=128)
@@ -121,7 +129,12 @@ def main(argv=None):
     s1state, _, _ = create_stage1_state(
         Stage1Config(encoder=enc_cfg, features=fcfg), jax.random.key(args.seed), 1
     )
-    if args.encoder_type == "fx_encoder":
+    if args.encoder_npz and args.encoder_type == "mixing_style":
+        from mst_tpu.cli.train_style_transfer import _encoder_from_npz
+
+        enc, enc_vars, enc_cfg, fcfg = _encoder_from_npz(args.encoder_npz)
+        print(f"loaded encoder artifact from {args.encoder_npz}")
+    elif args.encoder_type == "fx_encoder":
         from mst_tpu.models.fx_encoder import FxEncoder, make_fx_embed_fn
 
         fx = FxEncoder(audio=enc_cfg.audio, embed_dim=args.fx_embed_dim)
@@ -155,7 +168,15 @@ def main(argv=None):
                       use_film=True, film_embed_dim=2 * cond_dim),
     )
     state, tcn, gen, _ = create_style_transfer_state(st_cfg, jax.random.key(args.seed), 1)
-    if args.tcn_checkpoint:
+    if args.tcn_npz:
+        from mst_tpu.checkpoints.npz_io import load_params_npz
+
+        w = load_params_npz(args.tcn_npz)
+        state = state.replace(tcn_params=w["tcn_params"],
+                              tcn_batch_stats=w["tcn_batch_stats"],
+                              film_params=w["film_params"])
+        print(f"loaded TCN artifact from {args.tcn_npz}")
+    elif args.tcn_checkpoint:
         state = restore_checkpoint(args.tcn_checkpoint, None, state)
         print(f"loaded TCN from {args.tcn_checkpoint}")
     else:
