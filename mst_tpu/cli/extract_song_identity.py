@@ -6,12 +6,20 @@ Pipeline parity: stems -> mono mixture @ 22.05 kHz -> CQT (84 bins, hop 512)
 frames -> embedding model -> L2-normalized 512-d, cached with
 {embeddings, track_paths, failed_tracks} (ref: :241-248; stored as .npz).
 
-The reference's embedding model is the external Discogs-VINet CQTNet whose
-weights are NOT vendored (same situation as the reference checkout).  The
-model slot is pluggable: by default a seeded random-projection embedder maps
-the standardized CQT to 512-d — deterministic and distance-preserving
-(Johnson-Lindenstrauss), adequate as the adversarial target's stand-in and
-replaceable by real VINet weights via --vinet_params (.npz with 'proj').
+The embedding model is pluggable:
+
+- ``--cqtnet_checkpoint``: run the real CQTNet (models/cqtnet.py — the
+  Discogs-VINet architecture the reference loads,
+  ref: scripts/extract_song_identity_embeddings.py:37-58,169-183) on the
+  preprocessed CQT.  Accepts a torch ``.pt``/``.pth`` state dict (imported
+  via checkpoints.cqtnet_params_from_torch) or a flax ``.npz`` variables
+  snapshot (checkpoints/npz_io.py).  ``ch_in``/``ch_out`` are inferred from
+  the weights.
+- default (no checkpoint): a seeded random-projection embedder maps the
+  standardized CQT to 512-d — deterministic and distance-preserving
+  (Johnson-Lindenstrauss), the stand-in when no upstream weights exist
+  (the reference checkout likewise lacks the VINet submodule).  Legacy
+  ``--vinet_params`` (.npz with 'proj') overrides the projection matrix.
 """
 
 from __future__ import annotations
@@ -33,6 +41,10 @@ def get_params(argv=None):
     p.add_argument("--downsample", type=int, default=20)
     p.add_argument("--max_frames", type=int, default=7600)
     p.add_argument("--embed_dim", type=int, default=512)
+    p.add_argument("--cqtnet_checkpoint", type=str, default=None,
+                   help="CQTNet weights: torch .pt/.pth state dict or flax "
+                        ".npz variables; runs the real model instead of the "
+                        "random-projection stand-in")
     p.add_argument("--vinet_params", type=str, default=None)
     p.add_argument("--seed", type=int, default=42)
     return p.parse_args(argv)
@@ -53,6 +65,46 @@ def preprocess_cqt(mag: np.ndarray, downsample: int, max_frames: int) -> np.ndar
     return out
 
 
+def load_cqtnet(path):
+    """(model, variables) from a torch .pt/.pth state dict or flax .npz;
+    ch_in/ch_out inferred from the projection/conv0 weight shapes."""
+    from mst_tpu.models import CQTNet
+
+    if str(path).endswith((".pt", ".pth")):
+        import torch
+
+        from mst_tpu.checkpoints import cqtnet_params_from_torch
+
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+        for key in ("state_dict", "model_state_dict"):
+            if isinstance(ckpt, dict) and key in ckpt:
+                ckpt = ckpt[key]
+                break
+        sd = {k: np.asarray(v.detach().cpu() if hasattr(v, "detach") else v)
+              for k, v in ckpt.items()}
+        variables = cqtnet_params_from_torch(sd)
+    else:
+        from mst_tpu.checkpoints.npz_io import load_params_npz
+
+        variables = load_params_npz(path)
+    ch_in = int(variables["params"]["conv0"]["kernel"].shape[-1])
+    ch_out = int(variables["params"]["projection"]["kernel"].shape[-1])
+    return CQTNet(ch_in=ch_in, ch_out=ch_out), variables
+
+
+def make_cqtnet_embed(path):
+    """One compiled per-track embed: (n_bins, max_frames) CQT -> (D,)."""
+    import jax
+
+    model, variables = load_cqtnet(path)
+
+    @jax.jit
+    def embed(feat):
+        return model.apply(variables, feat[None, :, :, None])[0]
+
+    return embed, model.ch_out
+
+
 def main(argv=None):
     args = get_params(argv)
 
@@ -64,10 +116,16 @@ def main(argv=None):
     dirs = find_stem_dirs(args.separated_path)
     print(f"{len(dirs)} tracks")
 
-    if args.vinet_params:
+    cqtnet_embed = None
+    proj = None
+    embed_dim = args.embed_dim
+    if args.cqtnet_checkpoint:
+        cqtnet_embed, embed_dim = make_cqtnet_embed(args.cqtnet_checkpoint)
+        print(f"CQTNet from {args.cqtnet_checkpoint} ({embed_dim}-d)")
+    elif args.vinet_params:
         proj = np.load(args.vinet_params)["proj"]
     else:
-        print("WARNING: no VINet weights; using seeded random projection")
+        print("WARNING: no CQTNet weights; using seeded random projection")
         rng = np.random.default_rng(args.seed)
         proj = rng.standard_normal(
             (args.n_bins * 32, args.embed_dim)
@@ -81,15 +139,22 @@ def main(argv=None):
             mag = np.asarray(cqt(jnp.asarray(mixture), args.sample_rate,
                                  args.hop_length, args.n_bins))
             feat = preprocess_cqt(mag, args.downsample, args.max_frames)
-            # summary-pool the *valid* (un-padded) region into 16 chunks of
-            # per-bin (mean, std) -> (n_bins*32,).  Standardization makes
-            # plain means ~0, so std carries the temporal structure.
-            valid = min(mag.shape[1] // args.downsample, args.max_frames)
-            chunks = np.array_split(feat[:, :max(valid, 16)], 16, axis=1)
-            pooled = np.concatenate(
-                [np.concatenate([c.mean(axis=1), c.std(axis=1)]) for c in chunks]
-            )
-            emb = pooled @ proj
+            if cqtnet_embed is not None:
+                # the reference feeds the padded CQT through the model
+                # (ref: :169-183,278); output is already L2-normalized
+                emb = np.asarray(cqtnet_embed(jnp.asarray(feat)))
+            else:
+                # JL stand-in: summary-pool the *valid* (un-padded) region
+                # into 16 chunks of per-bin (mean, std) -> (n_bins*32,).
+                # Standardization makes plain means ~0, so std carries the
+                # temporal structure.
+                valid = min(mag.shape[1] // args.downsample, args.max_frames)
+                chunks = np.array_split(feat[:, :max(valid, 16)], 16, axis=1)
+                pooled = np.concatenate(
+                    [np.concatenate([c.mean(axis=1), c.std(axis=1)])
+                     for c in chunks]
+                )
+                emb = pooled @ proj
             emb = emb / max(np.linalg.norm(emb), 1e-8)
             embeddings.append(emb.astype(np.float32))
             paths.append(str(d))
@@ -99,7 +164,7 @@ def main(argv=None):
 
     np.savez(
         args.output,
-        embeddings=np.stack(embeddings) if embeddings else np.zeros((0, args.embed_dim)),
+        embeddings=np.stack(embeddings) if embeddings else np.zeros((0, embed_dim)),
         track_paths=np.asarray(paths, dtype=object),
         failed_tracks=np.asarray([json.dumps(f) for f in failed], dtype=object),
     )

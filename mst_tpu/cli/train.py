@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import json
+from functools import partial
 from pathlib import Path
 
 import numpy as np
@@ -125,9 +126,20 @@ def _train_on_device_synth_inner(args):
         feature_config_from_args,
     )
     from mst_tpu.config import Stage1Config
+    from mst_tpu.parallel import data_sharding, make_mesh
     from mst_tpu.pipeline import embed_stems
     from mst_tpu.separation.synth import synth_two_crop_batch
     from mst_tpu.train import create_stage1_state, make_train_step
+
+    # Mesh-default (pod-correct, no-op on one chip): pad the song count to a
+    # device multiple so the 2*songs contrastive batch shards on 'data'.
+    n_dev = len(jax.devices())
+    if args.batch_size % n_dev:
+        new_bs = -(-args.batch_size // n_dev) * n_dev
+        print(f"NOTE: rounding --batch_size {args.batch_size} -> {new_bs} "
+              f"(multiple of {n_dev} devices)")
+        args.batch_size = new_bs
+    mesh = make_mesh()
 
     cfg = Stage1Config(
         encoder=encoder_config_from_args(args),
@@ -151,9 +163,12 @@ def _train_on_device_synth_inner(args):
     if args.use_augmentation:
         acfg = AugmentConfig(sample_rate=args.sample_rate)
         augment_fn = lambda rng, stems: augment_stems(rng, stems, acfg)
-    step_fn = make_train_step(cfg, enc, None, total_steps, augment_fn=augment_fn)
+    step_fn = make_train_step(cfg, enc, None, total_steps, augment_fn=augment_fn,
+                              mesh=mesh)
 
-    @jax.jit
+    batch_sh = data_sharding(mesh)
+
+    @partial(jax.jit, out_shardings=(batch_sh, batch_sh))
     def synth_fn(key):
         return synth_two_crop_batch(key, args.batch_size, T, sr)
 
@@ -316,31 +331,23 @@ def main(argv=None):
     train_idx, val_idx = train_val_split(len(dataset), 0.1, args.seed)
     print(f"dataset: {len(dataset)} tracks ({len(train_idx)} train / {len(val_idx)} val)")
 
+    # sharded stepping needs device-divisible batches (N = batch *
+    # num_segments on 'data'); tiny corpora fall back to one device
+    n_dev = len(jax.devices())
+    shard_data = (n_dev > 1 and len(train_idx) >= args.batch_size
+                  and (args.batch_size * args.num_segments) % n_dev == 0)
+    if n_dev > 1 and not shard_data:
+        print(f"NOTE: batch {args.batch_size}x{args.num_segments} clips not "
+              f"shardable over {n_dev} devices; running unsharded")
     loader = PrefetchLoader(dataset, args.batch_size, baseline_collate,
                             indices=train_idx, num_workers=args.num_workers,
-                            seed=args.seed)
+                            seed=args.seed, drop_last=shard_data)
     val_loader = PrefetchLoader(dataset, args.batch_size, baseline_collate,
                                 indices=val_idx, shuffle=False,
                                 num_workers=args.num_workers)
 
     steps_per_epoch = max(len(loader), 1)
     total_steps = steps_per_epoch * args.num_epochs
-
-    state, enc, disc = create_stage1_state(cfg, jax.random.key(args.seed), total_steps)
-    if args.resume_torch:
-        ckpt = load_torch_checkpoint(args.resume_torch)
-        variables = encoder_params_from_torch(
-            ckpt["model_state_dict"], cfg.encoder.n_subbands
-        )
-        state = state.replace(params=variables["params"],
-                              batch_stats=variables["batch_stats"])
-        print(f"imported torch weights from {args.resume_torch}")
-    elif args.resume:
-        state = restore_checkpoint(args.resume, None, state)
-        if args.weights_only:
-            fresh, _, _ = create_stage1_state(cfg, jax.random.key(args.seed), total_steps)
-            state = fresh.replace(params=state.params, batch_stats=state.batch_stats)
-        print(f"resumed from {args.resume} at step {int(state.step)}")
 
     song_id_cache = None
     if args.use_adversarial:
@@ -361,16 +368,39 @@ def main(argv=None):
             if missing:
                 print(f"WARNING: {missing} tracks missing from song-ID cache "
                       f"(zero targets)")
+            # the discriminator must predict the cache's embedding space
+            # (512-d for VINet, arbitrary for custom CQTNets)
+            if song_id_cache.shape[1] != cfg.song_id_dim:
+                import dataclasses
+
+                cfg = dataclasses.replace(
+                    cfg, song_id_dim=song_id_cache.shape[1])
         else:
             print("WARNING: no song-ID cache; using zeros (adversarial no-op)")
             song_id_cache = np.zeros((len(dataset), cfg.song_id_dim), np.float32)
+
+    state, enc, disc = create_stage1_state(cfg, jax.random.key(args.seed), total_steps)
+    if args.resume_torch:
+        ckpt = load_torch_checkpoint(args.resume_torch)
+        variables = encoder_params_from_torch(
+            ckpt["model_state_dict"], cfg.encoder.n_subbands
+        )
+        state = state.replace(params=variables["params"],
+                              batch_stats=variables["batch_stats"])
+        print(f"imported torch weights from {args.resume_torch}")
+    elif args.resume:
+        state = restore_checkpoint(args.resume, None, state)
+        if args.weights_only:
+            fresh, _, _ = create_stage1_state(cfg, jax.random.key(args.seed), total_steps)
+            state = fresh.replace(params=state.params, batch_stats=state.batch_stats)
+        print(f"resumed from {args.resume} at step {int(state.step)}")
 
     augment_fn = None
     if args.use_augmentation:
         acfg = AugmentConfig(sample_rate=args.sample_rate)
         augment_fn = lambda rng, stems: augment_stems(rng, stems, acfg)
 
-    mesh = make_mesh()
+    mesh = make_mesh() if shard_data or n_dev == 1 else make_mesh((1,))
     print(f"mesh: {mesh.devices.shape} devices on axes {mesh.axis_names}")
     step_fn = make_train_step(cfg, enc, disc, total_steps, augment_fn=augment_fn,
                               mesh=mesh, infonce_impl=args.infonce_impl)
@@ -386,6 +416,8 @@ def main(argv=None):
         if stop:
             break
         for batch in loader:
+            if shard_data and batch["stems"].shape[0] % n_dev:
+                continue  # failed-item shrinkage broke divisibility
             device_batch = {
                 "stems": batch["stems"],
                 "song_labels": batch["song_labels"],
@@ -410,6 +442,8 @@ def main(argv=None):
         val_losses = []
         if len(val_idx) > 0:
             for batch in val_loader:
+                if shard_data and batch["stems"].shape[0] % n_dev:
+                    continue
                 device_batch = shard_batch(
                     {"stems": batch["stems"], "song_labels": batch["song_labels"]}, mesh
                 )

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import json
+from functools import partial
 from pathlib import Path
 
 import numpy as np
@@ -121,6 +122,7 @@ def _train_on_device_synth_inner(args):
     from mst_tpu.checkpoints.npz_io import save_params_npz
     from mst_tpu.cli._common import MetricsLogger
     from mst_tpu.config import StyleTransferConfig, TCNConfig
+    from mst_tpu.parallel import data_sharding, make_mesh
     from mst_tpu.separation.synth import synth_batch
     from mst_tpu.train import (
         apply_style_transfer,
@@ -133,6 +135,21 @@ def _train_on_device_synth_inner(args):
                          "(trained encoder artifact)")
     enc, enc_vars, ecfg, fcfg = _encoder_from_npz(args.encoder_npz)
     print(f"frozen encoder from {args.encoder_npz} ({ecfg.embed_dim}-d)")
+
+    # Mesh-default (pod-correct, no-op on one chip): pad the microbatch to a
+    # device multiple so pairs shard on 'data'; grad accumulation supplies
+    # the rest of the effective batch.
+    n_dev = len(jax.devices())
+    if args.batch_size % n_dev:
+        new_bs = -(-args.batch_size // n_dev) * n_dev
+        args.gradient_accumulation_steps = max(
+            1, round(args.gradient_accumulation_steps
+                     * args.batch_size / new_bs))
+        print(f"NOTE: scaling microbatch {args.batch_size} -> {new_bs} over "
+              f"{n_dev} devices (grad accumulation -> "
+              f"{args.gradient_accumulation_steps})")
+        args.batch_size = new_bs
+    mesh = make_mesh()
 
     cfg = StyleTransferConfig(
         encoder=ecfg, features=fcfg,
@@ -160,9 +177,13 @@ def _train_on_device_synth_inner(args):
 
     state, tcn, gen, tx = create_style_transfer_state(
         cfg, jax.random.key(args.seed), total_steps)
-    step_fn = make_style_transfer_step(cfg, enc, enc_vars, tcn, gen, tx)
+    step_fn = make_style_transfer_step(cfg, enc, enc_vars, tcn, gen, tx,
+                                       mesh=mesh)
 
-    @jax.jit
+    batch_sh = data_sharding(mesh)
+
+    @partial(jax.jit, out_shardings={"input_stems": batch_sh,
+                                     "target_stems": batch_sh})
     def synth_pair(key):
         ki, kt = jax.random.split(key)
         return {"input_stems": synth_batch(ki, B, T, sr),
@@ -274,6 +295,20 @@ def main(argv=None):
     if args.separated_path is None:
         raise SystemExit("--separated_path (or --synthetic) is required")
 
+    # Auto-scale the microbatch to the mesh instead of leaving a pod idle:
+    # effective batch (microbatch * accumulation) is preserved by shrinking
+    # the accumulation horizon as the microbatch grows.
+    n_dev = len(jax.devices())
+    if n_dev > 1 and args.batch_size % n_dev:
+        new_bs = -(-args.batch_size // n_dev) * n_dev
+        args.gradient_accumulation_steps = max(
+            1, round(args.gradient_accumulation_steps
+                     * args.batch_size / new_bs))
+        print(f"NOTE: scaling microbatch {args.batch_size} -> {new_bs} over "
+              f"{n_dev} devices (grad accumulation -> "
+              f"{args.gradient_accumulation_steps})")
+        args.batch_size = new_bs
+
     enc_cfg = encoder_config_from_args(args)
     cond_dim = (args.fx_embed_dim if args.encoder_type == "fx_encoder"
                 else enc_cfg.embed_dim)
@@ -340,9 +375,15 @@ def main(argv=None):
     dataset = StyleTransferDataset(args.separated_path, args.sample_rate,
                                    args.clip_duration, seed=args.seed)
     train_idx, val_idx = train_val_split(len(dataset), 0.1, args.seed)
+    # sharded stepping needs full device-divisible batches; tiny corpora
+    # (< one batch) fall back to a single-device mesh instead
+    shard_data = n_dev > 1 and len(train_idx) >= args.batch_size
+    if n_dev > 1 and not shard_data:
+        print(f"NOTE: corpus ({len(train_idx)} train pairs) smaller than one "
+              f"batch; running unsharded")
     loader = PrefetchLoader(dataset, args.batch_size, style_transfer_collate,
                             indices=train_idx, num_workers=args.num_workers,
-                            seed=args.seed)
+                            seed=args.seed, drop_last=shard_data)
     val_loader = PrefetchLoader(dataset, args.batch_size, style_transfer_collate,
                                 indices=val_idx, shuffle=False,
                                 num_workers=args.num_workers)
@@ -353,17 +394,11 @@ def main(argv=None):
     )
     # spread the microbatch over the chips (state replicated, batch on
     # 'data'); grad accumulation supplies the rest of the effective batch
-    mesh = None
-    n_dev = len(jax.devices())
-    if n_dev > 1 and args.batch_size % n_dev == 0:
-        from mst_tpu.parallel import make_mesh
+    from mst_tpu.parallel import make_mesh
 
-        mesh = make_mesh()
+    mesh = make_mesh() if shard_data or n_dev == 1 else make_mesh((1,))
+    if shard_data:
         print(f"data-parallel over {n_dev} devices")
-    elif n_dev > 1:
-        print(f"NOTE: batch_size {args.batch_size} not divisible by "
-              f"{n_dev} devices; running unsharded (raise --batch_size and "
-              f"lower --gradient_accumulation_steps to use the mesh)")
     step_fn = make_style_transfer_step(cfg, enc, enc_vars, tcn, gen, tx,
                                        mesh=mesh, embed_fn=embed_fn)
 
@@ -415,6 +450,8 @@ def main(argv=None):
         if stop:
             break
         for batch in loader:
+            if shard_data and batch["input_stems"].shape[0] % n_dev:
+                continue  # failed-item shrinkage broke divisibility
             state, metrics = step_fn(state, batch, rng)
             step = int(state.step)
             if step % args.log_interval == 0:

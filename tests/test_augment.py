@@ -146,6 +146,9 @@ def test_fir_truncation_tail_is_negligible():
     h = sosfilt(sos, imp)
     tail = float((h[4096:] ** 2).sum() / (h ** 2).sum())
     assert tail < 1e-12, tail  # measured ~0: IR decays in ~2k samples
+
+
+def test_bandlimit_kills_hf():
     """Force bandlimiting; high-frequency energy must drop."""
     t = np.arange(16384) / 44100.0
     hf = np.sin(2 * np.pi * 15000 * t).astype(np.float32)

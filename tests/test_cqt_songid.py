@@ -94,6 +94,61 @@ def test_cqtnet_shapes_and_init():
     assert variables["params"]["projection"]["kernel"].shape == (64, 32)
 
 
+def test_cqtnet_cache_feeds_adversarial_training(tmp_path, capsys):
+    """The real-weights adversarial pipeline end-to-end (ref:
+    scripts/extract_song_identity_embeddings.py:169-183,278 ->
+    src/train.py:529-541): extract a song-ID cache with a CQTNet checkpoint
+    (--cqtnet_checkpoint), then stage-1 adversarial training consumes it —
+    the discriminator dim follows the cache's embedding space."""
+    import json as _json
+
+    import jax
+
+    from mst_tpu.checkpoints.npz_io import save_params_npz
+    from mst_tpu.cli import train as train_cli
+    from mst_tpu.cli.extract_song_identity import main as extract_main
+    from mst_tpu.data import make_synthetic_corpus
+    from mst_tpu.models import CQTNet
+
+    sr = 22050
+    corpus = make_synthetic_corpus(tmp_path / "c", n_tracks=3, duration=1.0,
+                                   sample_rate=sr)
+
+    # a small "upstream" CQTNet checkpoint in the flax .npz layout
+    model = CQTNet(ch_in=4, ch_out=32)
+    variables = jax.jit(model.init)(jax.random.key(0),
+                                    jnp.zeros((1, 84, 300, 1)))
+    ckpt = tmp_path / "cqtnet.npz"
+    save_params_npz(ckpt, variables)
+
+    cache = tmp_path / "songid.npz"
+    extract_main([
+        "--separated_path", str(corpus), "--output", str(cache),
+        "--sample_rate", str(sr), "--max_frames", "300", "--downsample", "4",
+        "--cqtnet_checkpoint", str(ckpt),
+    ])
+    z = np.load(cache, allow_pickle=True)
+    assert z["embeddings"].shape == (3, 32)  # CQTNet dim, not the JL 512
+    np.testing.assert_allclose(
+        np.linalg.norm(z["embeddings"], axis=1), 1.0, atol=1e-5)
+
+    train_cli.main([
+        "--separated_path", str(corpus), "--sample_rate", str(sr),
+        "--clip_duration", "0.25", "--n_fft", "256", "--hop_length", "64",
+        "--n_mels", "32", "--encoder_dim", "32", "--band_split_size", "8",
+        "--band_overlap", "4",
+        "--use_adversarial", "--song_id_cache_path", str(cache),
+        "--batch_size", "2", "--num_epochs", "1", "--max_steps", "1",
+        "--log_interval", "1", "--num_workers", "1",
+        "--checkpoint_dir", str(tmp_path / "ckpt"),
+        "--log_dir", str(tmp_path / "logs"),
+    ])
+    out = capsys.readouterr().out
+    assert "adversarial=" in out  # the adversarial loss actually ran
+    assert "missing from song-ID cache" not in out  # cache rows aligned
+    assert "no song-ID cache" not in out
+
+
 def test_song_identity_cli(tmp_path):
     from mst_tpu.cli.extract_song_identity import main
     from mst_tpu.data import make_synthetic_corpus
