@@ -6,6 +6,12 @@ from mst_tpu.checkpoints.torch_compat import (
     cqtnet_params_from_torch,
     load_torch_checkpoint,
 )
+from mst_tpu.checkpoints.torch_export import (
+    encoder_params_to_torch,
+    tcn_params_to_torch,
+    film_generator_params_to_torch,
+    save_torch_checkpoint,
+)
 from mst_tpu.checkpoints.orbax_io import save_checkpoint, restore_checkpoint, latest_step
 
 __all__ = [
@@ -15,6 +21,10 @@ __all__ = [
     "discriminator_params_from_torch",
     "cqtnet_params_from_torch",
     "load_torch_checkpoint",
+    "encoder_params_to_torch",
+    "tcn_params_to_torch",
+    "film_generator_params_to_torch",
+    "save_torch_checkpoint",
     "save_checkpoint",
     "restore_checkpoint",
     "latest_step",

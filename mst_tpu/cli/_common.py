@@ -35,8 +35,8 @@ def add_model_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--band_overlap", type=int, default=10)
 
 
-def encoder_config_from_args(args) -> EncoderConfig:
-    audio = AudioConfig(
+def audio_config_from_args(args) -> AudioConfig:
+    return AudioConfig(
         sample_rate=args.sample_rate,
         clip_duration=args.clip_duration,
         n_fft=args.n_fft,
@@ -44,6 +44,10 @@ def encoder_config_from_args(args) -> EncoderConfig:
         n_mels=args.n_mels,
         mel_method=getattr(args, "mel_method", "gemm"),
     )
+
+
+def encoder_config_from_args(args) -> EncoderConfig:
+    audio = audio_config_from_args(args)
     return EncoderConfig(
         audio=audio,
         split_size=args.band_split_size,

@@ -141,7 +141,8 @@ def main(argv=None):
         if args.fx_encoder_checkpoint:
             from mst_tpu.checkpoints.npz_io import load_params_npz
 
-            fx_vars = {"params": load_params_npz(args.fx_encoder_checkpoint)}
+            w = load_params_npz(args.fx_encoder_checkpoint)
+            fx_vars = w if "params" in w else {"params": w}
         else:
             print("WARNING: randomly initialized fx encoder")
             fx_vars = jax.jit(fx.init)(
@@ -161,6 +162,16 @@ def main(argv=None):
 
     cond_dim = (args.fx_embed_dim if args.encoder_type == "fx_encoder"
                 else enc_cfg.embed_dim)
+    # a .npz artifact's sibling .json records the TCN architecture (the
+    # reference trainer forgot these keys and inference silently fell back
+    # to defaults — SURVEY.md §2.5); trust the artifact over the flags
+    if args.tcn_npz:
+        tcn_meta = Path(args.tcn_npz).with_suffix(".json")
+        if tcn_meta.exists():
+            tc = json.loads(tcn_meta.read_text()).get("tcn", {})
+            args.hidden_channels = tc.get("hidden_channels", args.hidden_channels)
+            args.num_blocks = tc.get("num_blocks", args.num_blocks)
+            args.kernel_size = tc.get("kernel_size", args.kernel_size)
     st_cfg = StyleTransferConfig(
         encoder=enc_cfg, features=fcfg,
         tcn=TCNConfig(hidden_channels=args.hidden_channels,

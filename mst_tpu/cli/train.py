@@ -35,6 +35,10 @@ def get_params(argv=None):
                         "the step (separation/synth.py): infinite fresh "
                         "songs, zero host data path; saves a best-by-"
                         "retrieval .npz encoder artifact")
+    p.add_argument("--synth_version", type=int, default=1, choices=(1, 2),
+                   help="procedural corpus: 1 = disjoint-signature stems, "
+                        "2 = shared-harmony/overlapping-spectra songs with "
+                        "per-song mixing styles (separation/synth_v2.py)")
     p.add_argument("--eval_interval", type=int, default=500)
     p.add_argument("--eval_songs", type=int, default=64,
                    help="held-out synthetic songs for retrieval eval")
@@ -128,8 +132,14 @@ def _train_on_device_synth_inner(args):
     from mst_tpu.config import Stage1Config
     from mst_tpu.parallel import data_sharding, make_mesh
     from mst_tpu.pipeline import embed_stems
-    from mst_tpu.separation.synth import synth_two_crop_batch
     from mst_tpu.train import create_stage1_state, make_train_step
+
+    if args.synth_version == 1:
+        from mst_tpu.separation.synth import synth_two_crop_batch
+    else:
+        from mst_tpu.separation.synth_v2 import (
+            synth_two_crop_batch_v2 as synth_two_crop_batch,
+        )
 
     # Mesh-default (pod-correct, no-op on one chip): pad the song count to a
     # device multiple so the 2*songs contrastive batch shards on 'data'.
@@ -202,13 +212,14 @@ def _train_on_device_synth_inner(args):
         top5 = float((order[:, :5] == truth[:, None]).any(axis=1).mean())
         return top1, top5
 
-    logger = MetricsLogger(args.log_dir, "stage1_synth")
+    stem = "encoder_synth" if args.synth_version == 1 else "encoder_synth2"
+    logger = MetricsLogger(args.log_dir, f"stage1_{stem}")
     rng = jax.random.key(args.seed + 1)
     eval_key = jax.random.key(args.seed + 777_000)  # disjoint stream
     ckpt_dir = Path(args.checkpoint_dir).absolute()
     ckpt_dir.mkdir(parents=True, exist_ok=True)
     best_top1 = -1.0
-    prev_meta = ckpt_dir / "encoder_synth_best.json"
+    prev_meta = ckpt_dir / f"{stem}_best.json"
     if prev_meta.exists():
         best_top1 = float(json.loads(prev_meta.read_text())["top1"])
         print(f"existing best top1 {best_top1:.3f} — only saving above it",
@@ -235,12 +246,13 @@ def _train_on_device_synth_inner(args):
             # TPU bf16 numerics it trained in
             if top1 >= best_top1:
                 best_top1 = top1
-                save_params_npz(ckpt_dir / "encoder_synth_best.npz", variables)
+                save_params_npz(ckpt_dir / f"{stem}_best.npz", variables)
                 prev_meta.write_text(json.dumps({
                     "step": step, "top1": top1, "top5": top5,
                     "eval_songs": args.eval_songs,
                     "clip_duration": args.clip_duration,
                     "sample_rate": args.sample_rate,
+                    "synth_version": args.synth_version,
                     "matmul_precision": args.matmul_precision,
                     "config": {
                         "n_fft": args.n_fft, "hop_length": args.hop_length,

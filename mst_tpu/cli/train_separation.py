@@ -27,7 +27,14 @@ def get_params(argv=None):
                    help="synthesize stems INSIDE the jitted step "
                         "(separation/synth.py): infinite fresh data, zero "
                         "host involvement — the round-2 demonstration recipe")
+    p.add_argument("--synth_version", type=int, default=1, choices=(1, 2),
+                   help="procedural corpus: 1 = disjoint-signature stems "
+                        "(easy), 2 = shared-harmony/overlapping-spectra "
+                        "with per-song mixing styles (separation/synth_v2.py)")
     p.add_argument("--eval_interval", type=int, default=500)
+    p.add_argument("--eval_songs", type=int, default=16,
+                   help="held-out synthetic songs for SI-SDR eval (fixed "
+                        "set: best-artifact selection needs a stable metric)")
     p.add_argument("--save_interval", type=int, default=1000)
     p.add_argument("--sample_rate", type=int, default=44100)
     p.add_argument("--chunk_seconds", type=float, default=10.0)
@@ -174,17 +181,21 @@ def _train_on_device_synth(args):
         print(f"warm-started params from {args.resume_npz}", flush=True)
     step_fn = make_synth_train_step(model, tx, args.batch_size, chunk,
                                     float(args.sample_rate),
-                                    augment=not args.no_augment)
-    eval_fn = make_synth_eval_fn(model, max(args.batch_size // 2, 1), chunk,
-                                 float(args.sample_rate))
+                                    augment=not args.no_augment,
+                                    synth_version=args.synth_version)
+    eval_fn = make_synth_eval_fn(model, args.eval_songs, chunk,
+                                 float(args.sample_rate),
+                                 synth_version=args.synth_version)
 
-    logger = MetricsLogger(args.log_dir, "scnet_synth")
+    # per-corpus-version artifact names: v2 scores are not comparable to v1
+    stem = "scnet_synth" if args.synth_version == 1 else "scnet_synth2"
+    logger = MetricsLogger(args.log_dir, stem)
     rng = jax.random.key(args.seed + 1)
     eval_key = jax.random.key(args.seed + 777_000)  # disjoint from training
     ckpt_dir = Path(args.checkpoint_dir).absolute()
     ckpt_dir.mkdir(parents=True, exist_ok=True)
     best_sdr = -1e9
-    prev_meta = ckpt_dir / "scnet_synth_best.json"
+    prev_meta = ckpt_dir / f"{stem}_best.json"
     if prev_meta.exists():  # never regress the committed best artifact
         best_sdr = float(json.loads(prev_meta.read_text())["si_sdr"])
         print(f"existing best SI-SDR {best_sdr:.2f} dB — only saving above it",
@@ -198,7 +209,9 @@ def _train_on_device_synth(args):
             logger.log(step, loss=loss)
             print(f"step {step}/{total_steps}: loss={loss:.4f}", flush=True)
         if step % args.eval_interval == 0 or step == total_steps:
-            r = eval_fn(state.params, jax.random.fold_in(eval_key, step))
+            # FIXED held-out set (not re-drawn per eval): best-artifact
+            # selection compares like with like instead of eval-set noise
+            r = eval_fn(state.params, eval_key)
             sdr = float(r["si_sdr"])
             per = [round(float(x), 2) for x in r["si_sdr_per_stem"]]
             base = float(r["input_si_sdr"])
@@ -207,17 +220,18 @@ def _train_on_device_synth(args):
                   f"(per-stem {per}, mixture baseline {base:.2f})", flush=True)
             if sdr > best_sdr:
                 best_sdr = sdr
-                save_params_npz(ckpt_dir / "scnet_synth_best.npz", state.params)
-                (ckpt_dir / "scnet_synth_best.json").write_text(json.dumps({
+                save_params_npz(ckpt_dir / f"{stem}_best.npz", state.params)
+                (ckpt_dir / f"{stem}_best.json").write_text(json.dumps({
                     "step": step, "si_sdr": sdr, "si_sdr_per_stem": per,
                     "input_si_sdr": base, "chunk_seconds": args.chunk_seconds,
                     "sample_rate": args.sample_rate,
+                    "synth_version": args.synth_version,
                     "config": {"n_fft": cfg.n_fft, "hop_length": cfg.hop_length,
                                "dims": list(cfg.dims),
                                "num_dplayers": cfg.num_dplayers},
                 }, indent=2))
         if step % args.save_interval == 0:
-            save_params_npz(ckpt_dir / "scnet_synth_last.npz", state.params)
+            save_params_npz(ckpt_dir / f"{stem}_last.npz", state.params)
 
     logger.close()
     print(json.dumps({"final_step": int(state.step), "best_si_sdr": best_sdr}))

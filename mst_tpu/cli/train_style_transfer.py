@@ -35,6 +35,10 @@ def get_params(argv=None):
                    help="frozen-encoder .npz artifact "
                         "(cli/train.py --on_device_synth output); its "
                         "sibling .json supplies the encoder config")
+    p.add_argument("--synth_version", type=int, default=1, choices=(1, 2),
+                   help="procedural corpus: 1 = disjoint-signature stems, "
+                        "2 = shared-harmony songs with per-song mixing "
+                        "styles (separation/synth_v2.py)")
     p.add_argument("--eval_interval", type=int, default=250)
     p.add_argument("--eval_pairs", type=int, default=16)
     p.add_argument("--matmul_precision", choices=("default", "highest"),
@@ -123,12 +127,16 @@ def _train_on_device_synth_inner(args):
     from mst_tpu.cli._common import MetricsLogger
     from mst_tpu.config import StyleTransferConfig, TCNConfig
     from mst_tpu.parallel import data_sharding, make_mesh
-    from mst_tpu.separation.synth import synth_batch
     from mst_tpu.train import (
         apply_style_transfer,
         create_style_transfer_state,
         make_style_transfer_step,
     )
+
+    if args.synth_version == 1:
+        from mst_tpu.separation.synth import synth_batch
+    else:
+        from mst_tpu.separation.synth_v2 import synth_batch_v2 as synth_batch
 
     if not args.encoder_npz:
         raise SystemExit("--on_device_synth requires --encoder_npz "
@@ -199,13 +207,14 @@ def _train_on_device_synth_inner(args):
         return (jnp.mean(m["improvement"]), jnp.mean(m["initial_distance"]),
                 jnp.mean(m["final_distance"]))
 
-    logger = MetricsLogger(args.log_dir, "style_transfer_synth")
+    stem = "tcn_synth" if args.synth_version == 1 else "tcn_synth2"
+    logger = MetricsLogger(args.log_dir, f"style_transfer_{stem}")
     rng = jax.random.key(args.seed + 1)
     eval_key = jax.random.key(args.seed + 777_000)
     ckpt_dir = Path(args.checkpoint_dir).absolute()
     ckpt_dir.mkdir(parents=True, exist_ok=True)
     best_imp = -1e9
-    prev_meta = ckpt_dir / "tcn_synth_best.json"
+    prev_meta = ckpt_dir / f"{stem}_best.json"
     if prev_meta.exists():
         best_imp = float(json.loads(prev_meta.read_text())["improvement"])
         print(f"existing best improvement {best_imp:.3f} — only saving above")
@@ -229,7 +238,7 @@ def _train_on_device_synth_inner(args):
                   flush=True)
             if imp >= best_imp:
                 best_imp = imp
-                save_params_npz(ckpt_dir / "tcn_synth_best.npz", {
+                save_params_npz(ckpt_dir / f"{stem}_best.npz", {
                     "tcn_params": state.tcn_params,
                     "tcn_batch_stats": state.tcn_batch_stats,
                     "film_params": state.film_params,
@@ -239,6 +248,7 @@ def _train_on_device_synth_inner(args):
                     "initial_distance": d0, "final_distance": d1,
                     "eval_pairs": args.eval_pairs,
                     "encoder_npz": str(args.encoder_npz),
+                    "synth_version": args.synth_version,
                     "matmul_precision": args.matmul_precision,
                     "tcn": {"hidden_channels": args.hidden_channels,
                             "num_blocks": args.num_blocks,
@@ -350,7 +360,10 @@ def main(argv=None):
         if args.fx_encoder_checkpoint:
             from mst_tpu.checkpoints.npz_io import load_params_npz
 
-            fx_vars = {"params": load_params_npz(args.fx_encoder_checkpoint)}
+            w = load_params_npz(args.fx_encoder_checkpoint)
+            # trained artifacts carry {params, batch_stats}; bare param
+            # trees (older snapshots) are wrapped
+            fx_vars = w if "params" in w else {"params": w}
             print(f"loaded fx encoder from {args.fx_encoder_checkpoint}")
         else:
             print("WARNING: randomly initialized fx encoder (no checkpoint)")

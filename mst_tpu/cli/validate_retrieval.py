@@ -23,6 +23,10 @@ def get_params(argv=None):
     add_model_args(p)
     p.add_argument("--checkpoint", type=str, default=None,
                    help="orbax stage-1 checkpoint dir")
+    p.add_argument("--encoder_npz", type=str, default=None,
+                   help="trained encoder .npz artifact (cli/train.py "
+                        "--on_device_synth output); its sibling .json "
+                        "overrides the encoder config flags")
     p.add_argument("--checkpoint_torch", type=str, default=None,
                    help="reference .pt checkpoint")
     p.add_argument("--output_dir", type=str, default="validation_results/")
@@ -65,18 +69,28 @@ def main(argv=None):
     fcfg = feature_config_from_args(args)
     enc = MixingStyleEncoder(enc_cfg)
 
-    s1state, _, _ = create_stage1_state(
-        Stage1Config(encoder=enc_cfg, features=fcfg), jax.random.key(args.seed), 1
-    )
-    if args.checkpoint_torch:
-        ckpt = load_torch_checkpoint(args.checkpoint_torch)
-        enc_vars = encoder_params_from_torch(ckpt["model_state_dict"], enc_cfg.n_subbands)
-    elif args.checkpoint:
-        s1state = restore_checkpoint(args.checkpoint, None, s1state)
-        enc_vars = {"params": s1state.params, "batch_stats": s1state.batch_stats}
+    if args.encoder_npz:
+        from mst_tpu.cli.train_style_transfer import _encoder_from_npz
+
+        enc, enc_vars, enc_cfg, fcfg = _encoder_from_npz(args.encoder_npz)
+        print(f"loaded encoder artifact from {args.encoder_npz}")
     else:
-        print("WARNING: randomly initialized encoder")
-        enc_vars = {"params": s1state.params, "batch_stats": s1state.batch_stats}
+        s1state, _, _ = create_stage1_state(
+            Stage1Config(encoder=enc_cfg, features=fcfg),
+            jax.random.key(args.seed), 1
+        )
+        if args.checkpoint_torch:
+            ckpt = load_torch_checkpoint(args.checkpoint_torch)
+            enc_vars = encoder_params_from_torch(ckpt["model_state_dict"],
+                                                 enc_cfg.n_subbands)
+        elif args.checkpoint:
+            s1state = restore_checkpoint(args.checkpoint, None, s1state)
+            enc_vars = {"params": s1state.params,
+                        "batch_stats": s1state.batch_stats}
+        else:
+            print("WARNING: randomly initialized encoder")
+            enc_vars = {"params": s1state.params,
+                        "batch_stats": s1state.batch_stats}
 
     dataset = FMABaselineDataset(args.separated_path, args.sample_rate,
                                  args.clip_duration, num_segments=1, seed=args.seed)

@@ -101,13 +101,24 @@ def make_separation_train_step(model: SCNet, tx, augment: bool = True):
     return jax.jit(train_step)
 
 
+def _synth_batch_fn(synth_version: int):
+    if synth_version == 1:
+        from mst_tpu.separation.synth import synth_batch
+        return synth_batch
+    if synth_version == 2:
+        from mst_tpu.separation.synth_v2 import synth_batch_v2
+        return synth_batch_v2
+    raise ValueError(f"unknown synth_version {synth_version!r}")
+
+
 def make_synth_train_step(model: SCNet, tx, batch_size: int,
                           chunk_samples: int, sample_rate: float,
-                          augment: bool = True):
-    """Train step with data synthesized *inside* the jit (separation/synth.py):
-    the generator + forward + backward compile to one program, so the host
-    (1 CPU core here) never touches training data."""
-    from mst_tpu.separation.synth import synth_batch
+                          augment: bool = True, synth_version: int = 1):
+    """Train step with data synthesized *inside* the jit (separation/synth.py
+    or the harder synth_v2.py — ``synth_version``): the generator + forward +
+    backward compile to one program, so the host (1 CPU core here) never
+    touches training data."""
+    synth_batch = _synth_batch_fn(synth_version)
 
     def loss_fn(params, stems):
         mixture = jnp.sum(stems, axis=1)
@@ -135,14 +146,14 @@ def make_synth_train_step(model: SCNet, tx, batch_size: int,
 
 
 def make_synth_eval_fn(model: SCNet, batch_size: int, chunk_samples: int,
-                       sample_rate: float):
+                       sample_rate: float, synth_version: int = 1):
     """Held-out SI-SDR eval on fresh synthetic mixes (keys disjoint from the
     training stream by construction — caller passes a dedicated eval key).
 
     Returns jitted fn(params, key) -> {si_sdr, si_sdr_per_stem (4,),
     input_si_sdr} where input_si_sdr is the mixture-as-prediction baseline
     (the number an identity 'separator' scores)."""
-    from mst_tpu.separation.synth import synth_batch
+    synth_batch = _synth_batch_fn(synth_version)
 
     def eval_fn(params, key):
         stems = synth_batch(key, batch_size, chunk_samples, sample_rate)

@@ -1,0 +1,194 @@
+"""Flagship-CLI end-to-end runs (round-2 verdict: these were only
+--help-parsed, so a broken artifact load / wav bundle / metadata.json
+would pass CI).
+
+Fast tests drive every inference CLI on tiny configs; ``slow``-marked tests
+run the committed trained artifacts end-to-end (the real regression guard
+for artifact loading — included in the verify flow / full suite).
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from mst_tpu.data import make_synthetic_corpus
+
+ROOT = __import__("pathlib").Path(__file__).resolve().parents[1]
+
+TINY = [
+    "--sample_rate", "8000", "--clip_duration", "0.25",
+    "--n_fft", "256", "--hop_length", "64", "--n_mels", "32",
+    "--encoder_dim", "32", "--band_split_size", "8", "--band_overlap", "4",
+]
+
+
+@pytest.fixture(scope="module")
+def tiny_corpus(tmp_path_factory):
+    return make_synthetic_corpus(tmp_path_factory.mktemp("cli_e2e"),
+                                 n_tracks=4, duration=1.0, sample_rate=8000)
+
+
+def test_e2e_style_transfer_cli_bundle(tiny_corpus, tmp_path):
+    """Stems-dir path: output bundle matches the reference's format
+    (wavs + metadata.json with initial/final_distance/improvement,
+    ref: inference_e2e_style_transfer.py:439-466)."""
+    from mst_tpu.cli.inference_e2e_style_transfer import main
+
+    out = tmp_path / "e2e"
+    main([
+        "--input_stems", str(tiny_corpus / "track_000"),
+        "--target_stems", str(tiny_corpus / "track_001"),
+        "--output_dir", str(out), *TINY,
+        "--hidden_channels", "4", "--num_blocks", "2", "--kernel_size", "5",
+    ])
+    for wav in ("input_mix", "target_mix", "transferred_mix",
+                "transferred_vocals", "transferred_bass",
+                "transferred_drums", "transferred_other"):
+        assert (out / f"{wav}.wav").exists(), wav
+    meta = json.loads((out / "metadata.json").read_text())
+    for key in ("initial_distance", "final_distance", "improvement"):
+        assert np.isfinite(meta[key]), key
+    assert meta["config"]["hidden_channels"] == 4
+
+
+def test_validate_retrieval_cli_caches_and_metrics(tiny_corpus, tmp_path):
+    """metrics.json + reusable embedding caches
+    (ref: validate_retrieval.py:427-436)."""
+    from mst_tpu.cli.validate_retrieval import main
+    from mst_tpu.eval import load_embedding_cache
+
+    out = tmp_path / "val"
+    cache = tmp_path / "cache"
+    args = ["--separated_path", str(tiny_corpus), "--output_dir", str(out),
+            "--cache_dir", str(cache), "--batch_size", "2", *TINY]
+    main(args)
+    metrics = json.loads((out / "metrics.json").read_text())
+    assert 0.0 <= metrics["top1_accuracy"] <= 1.0
+    assert metrics["top5_accuracy"] >= metrics["top1_accuracy"]
+    c = load_embedding_cache(cache / "queries.npz")
+    assert c["embeddings"].shape[1] == 32
+    # second run reuses the caches (same metrics, no rebuild)
+    main(args)
+    metrics2 = json.loads((out / "metrics.json").read_text())
+    assert metrics2["top1_accuracy"] == metrics["top1_accuracy"]
+
+
+def test_grid_search_cli_results(tiny_corpus, tmp_path):
+    """Ranked results.json over a tiny grid (ref: grid_search_tcn.py)."""
+    from mst_tpu.cli.grid_search_tcn import main
+
+    out = tmp_path / "grid"
+    main([
+        "--separated_path", str(tiny_corpus), "--output_dir", str(out),
+        *TINY, "--num_pairs", "1", "--optimizers", "adam",
+        "--learning_rates", "0.001", "--num_steps_list", "2",
+        "--hidden_channels_list", "8", "--num_blocks_list", "2",
+        "--kernel_size", "5",
+    ])
+    results = json.loads((out / "results.json").read_text())
+    assert len(results) == 1
+    assert np.isfinite(results[0]["mean_improvement"])
+    assert results[0]["config"]["blocks"] == 2
+
+
+def test_distinctive_pairs_cli_chain(tiny_corpus, tmp_path):
+    """select_distinctive_pairs -> run_distinctive_pairs_transfer
+    (ref: select_distinctive_pairs.py + run_distinctive_pairs_transfer.py)."""
+    from mst_tpu.cli.select_distinctive_pairs import main as select_main
+    from mst_tpu.cli.run_distinctive_pairs_transfer import main as run_main
+
+    pairs = tmp_path / "pairs.json"
+    select_main(["--separated_path", str(tiny_corpus), "--output", str(pairs),
+                 *TINY, "--num_pairs", "2"])
+    sel = json.loads(pairs.read_text())
+    assert len(sel["pairs"]) == 2
+
+    out = tmp_path / "transfer"
+    run_main(["--pairs_json", str(pairs), "--output_dir", str(out),
+              *TINY, "--num_steps", "2"])
+    res = json.loads((out / "results.json").read_text())
+    assert len(res) == 2
+    assert (out / "pair0_transferred.wav").exists()
+
+
+def test_preprocess_separation_cli(tmp_path):
+    """Raw mixtures -> separated stem dirs (ref:
+    scripts/preprocess_fma_separation_fast.py): uses the committed trained
+    SCNet artifact, idempotent skip-existing second run."""
+    from mst_tpu.cli.preprocess_separation import main
+    from mst_tpu.data.audio_io import write_wav
+
+    sr = 8000
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        t = np.arange(sr) / sr
+        mix = np.stack([np.sin(2 * np.pi * (220 + 40 * i) * t),
+                        0.3 * rng.standard_normal(sr)]).astype(np.float32)
+        write_wav(raw / f"song{i}.wav", mix, sr)
+
+    out = tmp_path / "sep"
+    args = ["--audio_root", str(raw), "--output_root", str(out),
+            "--sample_rate", str(sr), "--chunk_seconds", "1.0"]
+    main(args)
+    for i in range(2):
+        for stem in ("vocals", "bass", "drums", "other"):
+            assert (out / f"song{i}" / f"{stem}.wav").exists()
+    # skip-existing second pass (idempotent preprocessing,
+    # ref: preprocess_fma_separation_fast.py:59-72)
+    main(args)
+
+
+@pytest.mark.slow
+def test_e2e_style_transfer_cli_committed_artifacts(tmp_path):
+    """The real flagship regression: SCNet separation of real audio
+    (song_A.wav) + the committed trained encoder + TCN artifacts, full
+    reference-format bundle.  TCN architecture must come from the
+    artifact's sibling json, not the CLI defaults."""
+    import os
+
+    song_a = "/root/reference/assets/song_A.wav"
+    if not os.path.exists(song_a):
+        pytest.skip("song_A.wav not available")
+
+    from mst_tpu.cli.inference_e2e_style_transfer import main
+
+    corpus = make_synthetic_corpus(tmp_path / "c", n_tracks=1, duration=10.0,
+                                   sample_rate=44100)
+    out = tmp_path / "e2e"
+    main([
+        "--input_audio", song_a,
+        "--target_stems", str(corpus / "track_000"),
+        "--encoder_npz", str(ROOT / "artifacts" / "encoder_synth_best.npz"),
+        "--tcn_npz", str(ROOT / "artifacts" / "tcn_synth_best.npz"),
+        "--output_dir", str(out),
+    ])
+    meta = json.loads((out / "metadata.json").read_text())
+    assert np.isfinite(meta["initial_distance"])
+    assert np.isfinite(meta["final_distance"])
+    # architecture read from tcn_synth_best.json, not the default 128/14
+    assert meta["config"]["hidden_channels"] == 64
+    assert meta["config"]["num_blocks"] == 10
+    assert (out / "transferred_mix.wav").exists()
+
+
+@pytest.mark.slow
+def test_validate_retrieval_cli_committed_artifact(tmp_path):
+    """Retrieval validation end-to-end with the committed trained encoder
+    artifact loaded via --encoder_npz."""
+    from mst_tpu.cli.validate_retrieval import main
+
+    corpus = make_synthetic_corpus(tmp_path / "c", n_tracks=3, duration=21.0,
+                                   sample_rate=44100)
+    out = tmp_path / "val"
+    main([
+        "--separated_path", str(corpus),
+        "--encoder_npz", str(ROOT / "artifacts" / "encoder_synth_best.npz"),
+        "--output_dir", str(out), "--batch_size", "3",
+        "--sample_rate", "44100", "--clip_duration", "10.0",
+    ])
+    metrics = json.loads((out / "metrics.json").read_text())
+    assert 0.0 <= metrics["top1_accuracy"] <= 1.0
+    assert metrics["num_queries"] == 3

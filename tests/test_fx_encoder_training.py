@@ -1,0 +1,105 @@
+"""FxEncoder training recipe tests (round-2 verdict item 5: the
+--encoder_type fx_encoder slot must have a *producible*, regression-guarded
+checkpoint, not just a loader)."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+ROOT = Path(__file__).resolve().parents[1]
+
+TINY = [
+    "--sample_rate", "8000", "--clip_duration", "0.25",
+    "--n_fft", "256", "--hop_length", "64", "--n_mels", "32",
+]
+
+
+def test_fx_encoder_training_produces_consumable_artifact(tmp_path, capsys):
+    """train_fx_encoder writes a full-variables artifact that the
+    style-transfer CLI's fx_encoder slot loads and trains with."""
+    from mst_tpu.cli.train_fx_encoder import main as fx_main
+    from mst_tpu.cli.train_style_transfer import main as st_main
+
+    ckpt = tmp_path / "fx"
+    fx_main([*TINY, "--embed_dim", "16", "--styles_per_batch", "2",
+             "--max_steps", "2", "--eval_interval", "2", "--eval_styles", "4",
+             "--log_interval", "1", "--checkpoint_dir", str(ckpt),
+             "--log_dir", str(tmp_path / "logs")])
+    art = ckpt / "fx_encoder_synth_best.npz"
+    assert art.exists()
+    meta = json.loads((ckpt / "fx_encoder_synth_best.json").read_text())
+    assert meta["embed_dim"] == 16
+    assert 0.0 <= meta["top1"] <= 1.0
+
+    # the artifact carries params + BN batch_stats (loadable at eval time)
+    from mst_tpu.checkpoints.npz_io import load_params_npz
+
+    w = load_params_npz(art)
+    assert "params" in w and "batch_stats" in w
+
+    st_dir = tmp_path / "st"
+    st_main([
+        "--synthetic", "--checkpoint_dir", str(st_dir),
+        "--log_dir", str(tmp_path / "logs"), *TINY,
+        "--encoder_dim", "32", "--band_split_size", "8", "--band_overlap", "4",
+        "--encoder_type", "fx_encoder", "--fx_embed_dim", "16",
+        "--fx_encoder_checkpoint", str(art),
+        "--hidden_channels", "8", "--num_blocks", "2", "--kernel_size", "5",
+        "--batch_size", "1", "--gradient_accumulation_steps", "2",
+        "--num_epochs", "1", "--max_steps", "2", "--no_cycle_consistency",
+        "--num_workers", "1",
+    ])
+    out = capsys.readouterr().out
+    assert "loaded fx encoder" in out
+    assert (st_dir / "final").exists()
+
+
+@pytest.mark.slow
+def test_committed_fx_artifact_regression():
+    """The committed trained FxEncoder artifact keeps its style-retrieval
+    quality (bar set near the achieved value in its metadata)."""
+    art = ROOT / "artifacts" / "fx_encoder_synth_best.npz"
+    meta_path = ROOT / "artifacts" / "fx_encoder_synth_best.json"
+    if not art.exists():
+        pytest.skip("fx artifact not trained yet")
+    import jax
+    import jax.numpy as jnp
+
+    from mst_tpu.checkpoints.npz_io import load_params_npz
+    from mst_tpu.config import AudioConfig
+    from mst_tpu.models.fx_encoder import FxEncoder
+    from mst_tpu.separation.synth_v2 import render_style, synth_dry_song
+
+    meta = json.loads(meta_path.read_text())
+    c = meta["config"]
+    audio = AudioConfig(sample_rate=meta["sample_rate"],
+                        clip_duration=meta["clip_duration"],
+                        n_fft=c["n_fft"], hop_length=c["hop_length"],
+                        n_mels=c["n_mels"], mel_method=c["mel_method"])
+    fx = FxEncoder(audio=audio, embed_dim=meta["embed_dim"])
+    w = load_params_npz(art)
+    T = audio.clip_samples
+    sr = float(audio.sample_rate)
+
+    n = 32
+
+    @jax.jit
+    def views(key):
+        ks, kc = jax.random.split(key)
+        style_keys = jax.random.split(ks, n)
+        content_keys = jax.random.split(kc, 2 * n)
+        dry = jax.vmap(lambda k: synth_dry_song(k, T, sr))(content_keys)
+        styles2 = jnp.repeat(jnp.arange(n), 2)
+        mixed = jax.vmap(lambda sk, d: render_style(sk, d, sr))(
+            style_keys[styles2], dry).sum(axis=1)
+        return fx.apply(w, mixed, train=False)
+
+    emb = np.asarray(views(jax.random.key(123_456)))
+    q, p = emb[0::2], emb[1::2]
+    top1 = float((np.argsort(-(q @ p.T), axis=1)[:, 0] == np.arange(n)).mean())
+    # bar near the achieved value (metadata top1), with headroom for the
+    # held-out key stream + platform numerics
+    assert top1 >= min(0.95 * meta["top1"], meta["top1"] - 0.1), (
+        top1, meta["top1"])

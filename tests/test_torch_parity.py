@@ -20,6 +20,10 @@ from mst_tpu.checkpoints import (
     tcn_params_from_torch,
     film_generator_params_from_torch,
     discriminator_params_from_torch,
+    encoder_params_to_torch,
+    tcn_params_to_torch,
+    film_generator_params_to_torch,
+    save_torch_checkpoint,
 )
 from mst_tpu.models import MixingStyleEncoder, TCNMixer, TCNFiLMGenerator, SongIdentityDiscriminator
 from mst_tpu.config import TCNConfig
@@ -189,3 +193,74 @@ def test_film_generator_and_discriminator_parity(rng):
     disc = SongIdentityDiscriminator(hidden_dim=32, output_dim=32)
     dgot = np.asarray(disc.apply(dv, jnp.asarray(x), train=False))
     np.testing.assert_allclose(dgot, dref, atol=1e-5)
+
+
+def _tree_equal(a, b):
+    la = jax.tree.leaves(a)
+    lb = jax.tree.leaves(b)
+    assert len(la) == len(lb)
+    for x, y in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_encoder_export_roundtrip(rng):
+    """flax -> torch .pt layout -> flax reproduces the exact tree
+    (SURVEY.md §5: to/from the PyTorch layout for parity checks)."""
+    cfg = EncoderConfig(
+        audio=AudioConfig(n_fft=512, hop_length=128, n_mels=64,
+                          clip_duration=0.5),
+        split_size=16, overlap=8, embed_dim=32, feature_dim=64,
+    )
+    model = MixingStyleEncoder(cfg)
+    T = cfg.audio.clip_samples
+    variables = jax.jit(model.init)(
+        jax.random.key(3), jnp.zeros((1, 4, 2, T)), jnp.zeros((1, 64)))
+    sd = encoder_params_to_torch(variables)
+    back = encoder_params_from_torch(sd, cfg.n_subbands)
+    _tree_equal(variables["params"], back["params"])
+    _tree_equal(variables["batch_stats"], back["batch_stats"])
+    # and the exported layout is loadable by the torch replica
+    tmodel = TorchMixingStyleEncoder(
+        n_fft=512, hop=128, n_mels=64, split_size=16, overlap=8,
+        embed_dim=32, feature_dim=64, clip_seconds=0.5,
+    )
+    # mel fb/window are derived buffers (recomputed from config), not weights
+    res = tmodel.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+        strict=False,
+    )
+    assert not res.unexpected_keys
+    assert all(k.startswith("audio_encoder.mel.") for k in res.missing_keys)
+
+
+def test_tcn_and_film_export_roundtrip(tmp_path, rng):
+    cfg = TCNConfig(in_channels=8, hidden_channels=16, num_blocks=3,
+                    kernel_size=5, use_film=False)
+    tcn = TCNMixer(cfg)
+    tvars = jax.jit(tcn.init)(jax.random.key(4), jnp.zeros((1, 256, 8)))
+    sd = tcn_params_to_torch(tvars)
+    back = tcn_params_from_torch(sd, num_blocks=3)
+    _tree_equal(tvars["params"], back["params"])
+    _tree_equal(tvars["batch_stats"], back["batch_stats"])
+
+    gcfg = TCNConfig(hidden_channels=16, num_blocks=3, film_embed_dim=64,
+                     use_film=True)
+    gen = TCNFiLMGenerator(gcfg)
+    gvars = jax.jit(gen.init)(jax.random.key(5), jnp.zeros((1, 64)))
+    gsd = film_generator_params_to_torch(gvars)
+    gback = film_generator_params_from_torch(gsd)
+    _tree_equal(gvars["params"], gback["params"])
+
+    # reference-layout .pt on disk: content + the architecture hyperparams
+    # the reference trainer forgot (SURVEY.md §2.5)
+    from mst_tpu.checkpoints import load_torch_checkpoint
+
+    path = tmp_path / "st.pt"
+    save_torch_checkpoint(
+        path, {"tcn_state_dict": sd, "film_generator_state_dict": gsd},
+        epoch=7, hidden_channels=16, num_blocks=3, kernel_size=5,
+    )
+    ckpt = load_torch_checkpoint(str(path))
+    assert ckpt["epoch"] == 7 and ckpt["hidden_channels"] == 16
+    back2 = tcn_params_from_torch(ckpt["tcn_state_dict"], num_blocks=3)
+    _tree_equal(tvars["params"], back2["params"])
