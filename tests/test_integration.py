@@ -43,6 +43,7 @@ def corpus(tmp_path_factory):
                                  duration=2.0, sample_rate=SR)
 
 
+@pytest.mark.slow
 def test_full_loop(corpus, tmp_path):
     dataset = FMABaselineDataset(corpus, SR, 0.5, num_segments=2, seed=0)
     train_idx, val_idx = train_val_split(len(dataset), 0.2, seed=0)
@@ -136,6 +137,7 @@ def test_train_style_transfer_cli_fx_encoder(tmp_path):
     assert (ckpt / "final").exists()
 
 
+@pytest.mark.slow
 def test_style_transfer_cli_on_device_synth(tmp_path):
     """Full synthetic pipeline glue: stage-1 synth training produces the
     encoder artifact, then the style-transfer CLI consumes it via

@@ -45,6 +45,7 @@ def test_optimize_pairs_shapes_and_identity(setup):
     assert np.isfinite(res["final_distance"]).all()
 
 
+@pytest.mark.slow
 def test_mesh_sharded_matches_unsharded(setup):
     """Pair axis sharded on 'data' (with padding 3 -> 8) == plain vmap.
 

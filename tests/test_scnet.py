@@ -45,6 +45,7 @@ def test_spec_forward_shapes(model_and_vars, rng):
     assert out.shape == (1, 4, 2, 256, 20)
 
 
+@pytest.mark.slow
 def test_gradients_flow(model_and_vars):
     model, variables, x = model_and_vars
 
@@ -58,6 +59,7 @@ def test_gradients_flow(model_and_vars):
     assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
 
 
+@pytest.mark.slow
 def test_learns_synthetic_separation(rng):
     """A few steps of L1-on-waveform training must reduce loss."""
     import optax

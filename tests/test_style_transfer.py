@@ -84,6 +84,7 @@ def test_grad_accumulation_only_updates_every_k(setup):
     )
 
 
+@pytest.mark.slow
 def test_meshed_step_matches_unsharded(setup):
     """Explicit shardings (state replicated, batch on 'data') == plain jit."""
     from mst_tpu.parallel import make_mesh
@@ -178,6 +179,7 @@ def test_fx_encoder_mode(setup):
     assert np.isfinite(np.asarray(m["final_distance"])).all()
 
 
+@pytest.mark.slow
 def test_trained_tcn_artifact_improves_fresh_pairs():
     """The committed trained FiLM-TCN artifact must reduce embedding
     distance toward the target on fresh held-out synthetic pairs (the

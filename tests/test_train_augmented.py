@@ -1,6 +1,7 @@
 """Stage-1 train step with the on-device augmentation chain wired in."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -22,6 +23,7 @@ TINY_CFG = Stage1Config(
 )
 
 
+@pytest.mark.slow
 def test_train_step_with_augmentation():
     rng = np.random.default_rng(99)
     n = 8

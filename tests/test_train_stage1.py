@@ -46,6 +46,7 @@ def batch(rng):
     return _synthetic_batch(rng)
 
 
+@pytest.mark.slow
 def test_train_step_decreases_loss(batch):
     state, enc, disc = create_stage1_state(TINY_CFG, jax.random.key(0), total_steps=100)
     step_fn = make_train_step(TINY_CFG, enc, disc, total_steps=100)
@@ -67,6 +68,7 @@ def test_eval_step(batch):
     assert np.isfinite(float(loss))
 
 
+@pytest.mark.slow
 def test_adversarial_train_step(batch, rng):
     cfg = Stage1Config(
         encoder=TINY_CFG.encoder, features=TINY_CFG.features,
@@ -84,6 +86,7 @@ def test_adversarial_train_step(batch, rng):
     assert float(metrics["grl_lambda"]) >= 0.0
 
 
+@pytest.mark.slow
 def test_train_step_sharded_8_devices(batch):
     """Same step jitted over an 8-device data-parallel mesh (pjit DP)."""
     mesh = make_mesh((8,), ("data",))
@@ -100,6 +103,7 @@ def test_train_step_sharded_8_devices(batch):
     )
 
 
+@pytest.mark.slow
 def test_explicit_shardings_and_shard_map_parity(batch):
     """make_train_step(mesh=...) pins state-replicated/batch-on-'data'
     shardings explicitly, and infonce_impl='shard_map' wires
@@ -138,6 +142,7 @@ def test_eval_step_explicit_mesh(batch):
     assert emb.shape == (8, TINY_CFG.encoder.embed_dim)
 
 
+@pytest.mark.slow
 def test_on_device_synth_cli(tmp_path):
     """--on_device_synth trains with zero host data path and writes the
     best-by-retrieval artifact (demonstration recipe, ROADMAP item 2)."""
@@ -160,6 +165,7 @@ def test_on_device_synth_cli(tmp_path):
     assert 0.0 <= meta["top1"] <= 1.0 and meta["eval_songs"] == 4
 
 
+@pytest.mark.slow
 def test_trained_encoder_retrieval_regression():
     """The committed trained encoder artifact must retrieve same-song crops
     far above chance on fresh held-out synthetic songs (the encoder
