@@ -112,6 +112,26 @@ def test_distinctive_pairs_cli_chain(tiny_corpus, tmp_path):
     assert (out / "pair0_transferred.wav").exists()
 
 
+def test_per_pair_cli_results(tiny_corpus, tmp_path):
+    """Per-pair TCN optimization driver end-to-end
+    (ref: inference/test_tcn_style_transfer.py)."""
+    from mst_tpu.cli.test_tcn_style_transfer import main
+
+    out = tmp_path / "pp"
+    main([
+        "--separated_path", str(tiny_corpus), "--output_dir", str(out),
+        *TINY, "--num_pairs", "2", "--num_steps", "2",
+        "--hidden_channels", "8", "--num_blocks", "2", "--kernel_size", "5",
+        "--save_audio",
+    ])
+    res = json.loads((out / "results.json").read_text())
+    assert res["num_pairs"] == 2
+    assert np.isfinite(res["mean_improvement"])
+    # identity init (ref: test_tcn_style_transfer.py:138-141)
+    assert all(r["identity_init_error"] < 0.1 for r in res["results"])
+    assert (out / "pair0_transferred.wav").exists()
+
+
 def test_preprocess_separation_cli(tmp_path):
     """Raw mixtures -> separated stem dirs (ref:
     scripts/preprocess_fma_separation_fast.py): uses the committed trained
