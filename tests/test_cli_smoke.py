@@ -19,6 +19,8 @@ CLIS = [
     "mst_tpu.cli.check_dataset",
     "mst_tpu.cli.preprocess_separation",
     "mst_tpu.cli.extract_song_identity",
+    "mst_tpu.cli.demix",
+    "mst_tpu.cli.train_fx_encoder",
 ]
 
 
