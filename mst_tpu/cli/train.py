@@ -42,6 +42,23 @@ def get_params(argv=None):
     p.add_argument("--eval_interval", type=int, default=500)
     p.add_argument("--eval_songs", type=int, default=64,
                    help="held-out synthetic songs for retrieval eval")
+    p.add_argument("--eval_protocol", choices=("same_mix", "confuser"),
+                   default=None,
+                   help="retrieval eval: 'same_mix' = two crops of one "
+                        "render (ref validate_retrieval.py protocol); "
+                        "'confuser' = pool additionally holds a different-"
+                        "style render of the SAME content per song, so "
+                        "top1 measures style discrimination and cannot "
+                        "saturate on content cues (default for "
+                        "--synth_version 2; v1 has no style latent)")
+    p.add_argument("--confuser_alpha", type=float, default=0.02,
+                   help="style proximity of the confuser render: the pool "
+                        "distractor's continuous mix params are "
+                        "lerp(key_style, independent_draw, alpha); smaller "
+                        "= finer style resolution required")
+    p.add_argument("--init_npz", type=str, default=None,
+                   help="warm-start the encoder from a saved .npz variables "
+                        "artifact (on-device-synth path)")
     p.add_argument("--matmul_precision", choices=("default", "highest"),
                    default="default",
                    help="'highest' trains with f32-equivalent matmuls (3-pass "
@@ -136,10 +153,17 @@ def _train_on_device_synth_inner(args):
 
     if args.synth_version == 1:
         from mst_tpu.separation.synth import synth_two_crop_batch
+        synth_confuser_batch = None
     else:
         from mst_tpu.separation.synth_v2 import (
+            synth_confuser_batch_v2 as synth_confuser_batch,
             synth_two_crop_batch_v2 as synth_two_crop_batch,
         )
+    if args.eval_protocol is None:
+        args.eval_protocol = "confuser" if args.synth_version == 2 else "same_mix"
+    if args.eval_protocol == "confuser" and synth_confuser_batch is None:
+        raise SystemExit("--eval_protocol confuser needs --synth_version 2 "
+                         "(v1 stems have no mixing-style latent)")
 
     # Mesh-default (pod-correct, no-op on one chip): pad the song count to a
     # device multiple so the 2*songs contrastive batch shards on 'data'.
@@ -168,6 +192,14 @@ def _train_on_device_synth_inner(args):
     sr = float(args.sample_rate)
 
     state, enc, _ = create_stage1_state(cfg, jax.random.key(args.seed), total_steps)
+    if args.init_npz:
+        from mst_tpu.checkpoints.npz_io import load_params_npz
+
+        w = load_params_npz(args.init_npz)
+        state = state.replace(params=w["params"],
+                              batch_stats=w.get("batch_stats",
+                                                state.batch_stats))
+        print(f"warm-started encoder from {args.init_npz}", flush=True)
 
     augment_fn = None
     if args.use_augmentation:
@@ -187,22 +219,39 @@ def _train_on_device_synth_inner(args):
         return embed_stems(enc, variables, stems, cfg.features)
 
     ec = min(16, args.eval_songs)  # one compiled eval-chunk program
+    confuser = args.eval_protocol == "confuser"
 
     @jax.jit
     def eval_chunk(variables, key):
-        stems, _ = synth_two_crop_batch(key, ec, T, sr)
-        return embed_fn(variables, stems)  # (2*ec, D) [A0,B0,A1,B1,...]
+        if confuser:
+            stems = synth_confuser_batch(
+                key, ec, T, sr, confuser_alpha=args.confuser_alpha)  # [A,B,C]*ec
+        else:
+            stems, _ = synth_two_crop_batch(key, ec, T, sr)  # [A,B]*ec
+        return embed_fn(variables, stems)
 
     def retrieval_eval(variables, key):
-        """top1/top5 same-song retrieval over held-out synthetic songs."""
-        qs, ps = [], []
+        """top1/top5 same-song retrieval over held-out synthetic songs.
+
+        same_mix: query crop A vs pool of key crops B (ref protocol,
+        validate_retrieval.py:92-150).  confuser: the pool also holds, per
+        song, a different-style render of the same content (a "different mix
+        of the same song", ref mixing_utils.py:364-479) — ranking the true
+        key above its confuser requires embedding the mixing style itself.
+        """
+        per = 3 if confuser else 2
+        qs, ps, cs = [], [], []
         for i in range(0, args.eval_songs, ec):
             emb = np.asarray(eval_chunk(variables, jax.random.fold_in(key, i)),
                              np.float32)
-            qs.append(emb[0::2])
-            ps.append(emb[1::2])
+            qs.append(emb[0::per])
+            ps.append(emb[1::per])
+            if confuser:
+                cs.append(emb[2::per])
         q = np.concatenate(qs)[: args.eval_songs]
         p = np.concatenate(ps)[: args.eval_songs]
+        if confuser:
+            p = np.concatenate([p, np.concatenate(cs)[: args.eval_songs]])
         q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
         p /= np.maximum(np.linalg.norm(p, axis=1, keepdims=True), 1e-12)
         sim = q @ p.T
@@ -221,9 +270,20 @@ def _train_on_device_synth_inner(args):
     best_top1 = -1.0
     prev_meta = ckpt_dir / f"{stem}_best.json"
     if prev_meta.exists():
-        best_top1 = float(json.loads(prev_meta.read_text())["top1"])
-        print(f"existing best top1 {best_top1:.3f} — only saving above it",
-              flush=True)
+        prev = json.loads(prev_meta.read_text())
+        # a recorded bar only gates runs under the SAME eval protocol/pool —
+        # a same-mix 1.000 must not block every confuser-protocol save
+        prev_alpha = prev.get("confuser_alpha")
+        if (prev.get("eval_protocol", "same_mix") == args.eval_protocol
+                and prev.get("eval_songs") == args.eval_songs
+                and (args.eval_protocol != "confuser"
+                     or prev_alpha == args.confuser_alpha)):
+            best_top1 = float(prev["top1"])
+            print(f"existing best top1 {best_top1:.3f} — only saving above "
+                  "it", flush=True)
+        else:
+            print("existing best used a different eval protocol/pool — "
+                  "starting a fresh bar", flush=True)
 
     for i in range(total_steps):
         stems, labels = synth_fn(jax.random.fold_in(rng, i))
@@ -239,7 +299,8 @@ def _train_on_device_synth_inner(args):
             top1, top5 = retrieval_eval(variables, jax.random.fold_in(eval_key, step))
             logger.log(step, top1=top1, top5=top5)
             print(f"step {step}: retrieval top1 {top1:.3f} top5 {top5:.3f} "
-                  f"({args.eval_songs} songs)", flush=True)
+                  f"({args.eval_songs} songs, {args.eval_protocol})",
+                  flush=True)
             # >= so ties refresh the artifact: retrieval saturates early and
             # the later (lower-loss) state has far more robust margins —
             # a step-500 tie-winner measurably degrades under CPU f32 vs the
@@ -250,6 +311,10 @@ def _train_on_device_synth_inner(args):
                 prev_meta.write_text(json.dumps({
                     "step": step, "top1": top1, "top5": top5,
                     "eval_songs": args.eval_songs,
+                    "eval_protocol": args.eval_protocol,
+                    "confuser_alpha": (args.confuser_alpha
+                                       if args.eval_protocol == "confuser"
+                                       else None),
                     "clip_duration": args.clip_duration,
                     "sample_rate": args.sample_rate,
                     "synth_version": args.synth_version,

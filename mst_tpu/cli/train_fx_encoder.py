@@ -173,9 +173,16 @@ def _main_inner(args):
     best_top1 = -1.0
     prev_meta = ckpt_dir / "fx_encoder_synth_best.json"
     if prev_meta.exists():
-        best_top1 = float(json.loads(prev_meta.read_text())["top1"])
-        print(f"existing best top1 {best_top1:.3f} — only saving above it",
-              flush=True)
+        prev = json.loads(prev_meta.read_text())
+        # the recorded bar only applies to the same retrieval pool size —
+        # a 64-style 1.000 must not gate saves evaluated over 256 styles
+        if prev.get("eval_styles") == args.eval_styles:
+            best_top1 = float(prev["top1"])
+            print(f"existing best top1 {best_top1:.3f} — only saving above "
+                  "it", flush=True)
+        else:
+            print("existing best used a different eval pool — fresh bar",
+                  flush=True)
 
     for i in range(args.max_steps):
         params, batch_stats, opt_state, loss = train_step(

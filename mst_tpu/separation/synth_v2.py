@@ -195,63 +195,103 @@ def synth_dry_song(key: jax.Array, T: int,
     return stems.at[2].set(drm)
 
 
-def render_style(key: jax.Array, stems: jax.Array,
-                 sample_rate: float = 44100.0,
-                 fir_taps: int = 2048) -> jax.Array:
-    """Apply one per-song *mixing style* to dry stems (4, 2, T) (or batched
-    (B, 4, 2, T) under vmap): per-stem gain/pan/tilt/compression + shared
-    stereo reverb — the same effect family the reference treats as
-    "different mix of the same song" (ref: mixing_utils.py:364-479)."""
-    single = stems.ndim == 3
-    if single:
-        stems = stems[None]
-    B, S, C, T = stems.shape
+def draw_style_params(key: jax.Array, B: int, S: int,
+                      sample_rate: float = 44100.0) -> dict:
+    """Draw one mixing style per song as an explicit parameter pytree
+    (per-stem gain/pan/tilt/compression + shared reverb — the effect family
+    the reference treats as "different mix of the same song",
+    ref: mixing_utils.py:364-479).  Key-split order matches the original
+    fused render_style exactly, so render_style(key, ...) output is
+    bit-stable across the refactor."""
     k = jax.random.split(key, 8)
+    kd, kw, ki = jax.random.split(k[7], 3)
+    rl = int(0.6 * sample_rate)
+    return {
+        "gain_db": jax.random.uniform(k[0], (B, S, 1, 1), minval=-6.0,
+                                      maxval=6.0),
+        "pan": jax.random.uniform(k[1], (B, S), minval=0.2, maxval=0.8),
+        "tilt_amt": jax.random.uniform(k[2], (B, S, 1, 1), minval=0.0,
+                                       maxval=0.8),
+        "use_high": jax.random.uniform(k[3], (B, S, 1, 1)) < 0.5,
+        "thresh": jax.random.uniform(k[4], (B, S, 1, 1), minval=-30.0,
+                                     maxval=-12.0),
+        "ratio": jax.random.uniform(k[5], (B, S, 1, 1), minval=1.5,
+                                    maxval=6.0),
+        "apply_c": jax.random.uniform(k[6], (B, S, 1, 1)) < 0.7,
+        "decay": 0.15 + 0.45 * jax.random.uniform(kd),
+        "wet_amt": 0.05 + 0.35 * jax.random.uniform(kw),
+        "reverb_noise": jax.random.normal(ki, (rl,)),
+    }
 
-    # per-stem gain -6..+6 dB
-    gain_db = jax.random.uniform(k[0], (B, S, 1, 1), minval=-6.0, maxval=6.0)
-    x = stems * 10.0 ** (gain_db / 20.0)
+
+def interpolate_style(p_base: dict, p_other: dict, alpha: float) -> dict:
+    """A style alpha-close to ``p_base``: continuous params lerp toward
+    ``p_other``; discrete switches and the reverb noise stay at base.  The
+    knob behind the confuser eval protocol — small alpha tests fine-grained
+    style resolution (two fully independent styles are trivially separable
+    for a trained encoder)."""
+    out = dict(p_base)
+    for name in ("gain_db", "pan", "tilt_amt", "thresh", "ratio", "decay",
+                 "wet_amt"):
+        out[name] = (1.0 - alpha) * p_base[name] + alpha * p_other[name]
+    return out
+
+
+def apply_style(params: dict, stems: jax.Array,
+                sample_rate: float = 44100.0,
+                fir_taps: int = 2048) -> jax.Array:
+    """Apply an explicit mixing style (draw_style_params pytree) to batched
+    dry stems (B, 4, 2, T)."""
+    x = stems * 10.0 ** (params["gain_db"] / 20.0)
 
     # per-stem constant-power pan
-    pan = jax.random.uniform(k[1], (B, S), minval=0.2, maxval=0.8)
+    pan = params["pan"]
     l, r = jnp.sqrt(pan), jnp.sqrt(1.0 - pan)
     mid = x.mean(axis=2)
     side = 0.5 * (x[:, :, 0] - x[:, :, 1])  # drums carry width
     x = jnp.stack([mid * l[..., None] + side, mid * r[..., None] - side], axis=2)
 
     # per-stem spectral tilt: blend toward a shelved copy
-    tilt_amt = jax.random.uniform(k[2], (B, S, 1, 1), minval=0.0, maxval=0.8)
-    use_high = jax.random.uniform(k[3], (B, S, 1, 1)) < 0.5
     hi = sosfilt_fir(butter_sos(2, 2000.0, "high", sample_rate), x, fir_taps)
     lo = sosfilt_fir(butter_sos(2, 500.0, "low", sample_rate), x, fir_taps)
-    shelved = jnp.where(use_high, hi, lo)
+    shelved = jnp.where(params["use_high"], hi, lo)
+    tilt_amt = params["tilt_amt"]
     x = x * (1.0 - tilt_amt) + shelved * tilt_amt
 
-    # per-stem compression (threshold/ratio jitter), applied w.p. 0.7
-    thresh = jax.random.uniform(k[4], (B, S, 1, 1), minval=-30.0, maxval=-12.0)
-    ratio = jax.random.uniform(k[5], (B, S, 1, 1), minval=1.5, maxval=6.0)
+    # per-stem compression, applied per the style's discrete switch
+    thresh, ratio = params["thresh"], params["ratio"]
     db = 20.0 * jnp.log10(jnp.abs(x) + 1e-8)
     comp_db = jnp.where(db > thresh, thresh + (db - thresh) / ratio, db)
     comp = jnp.sign(x) * 10.0 ** (comp_db / 20.0)
-    apply_c = jax.random.uniform(k[6], (B, S, 1, 1)) < 0.7
-    x = jnp.where(apply_c, comp, x)
+    x = jnp.where(params["apply_c"], comp, x)
 
     # shared stereo reverb on the mixture, redistributed by stem energy
-    kd, kw, ki = jax.random.split(k[7], 3)
-    decay = 0.15 + 0.45 * jax.random.uniform(kd)
-    wet_amt = 0.05 + 0.35 * jax.random.uniform(kw)
-    rl = int(0.6 * sample_rate)
+    T = stems.shape[-1]
+    rl = params["reverb_noise"].shape[-1]
     tr = jnp.arange(rl) / sample_rate
-    impulse = (jnp.exp(-tr / (decay / 4.0))
-               * jax.random.normal(ki, (rl,)) * 0.1)
+    impulse = (jnp.exp(-tr / (params["decay"] / 4.0))
+               * params["reverb_noise"] * 0.1)
     mixture = x.sum(axis=1)  # (B, 2, T)
     wet = fft_convolve_1d(mixture, impulse, mode="same_corr")[..., :T]
     energy = jnp.mean(x ** 2, axis=(-2, -1))
     prop = (energy / (energy.sum(axis=-1, keepdims=True) + 1e-8))[..., None, None]
-    x = x + wet[:, None] * prop * wet_amt
+    x = x + wet[:, None] * prop * params["wet_amt"]
+    return x
 
-    out = x if not single else x[0]
-    return out
+
+def render_style(key: jax.Array, stems: jax.Array,
+                 sample_rate: float = 44100.0,
+                 fir_taps: int = 2048) -> jax.Array:
+    """Draw + apply one per-song *mixing style* to dry stems (4, 2, T) (or
+    batched (B, 4, 2, T) under vmap).  Output is identical to the original
+    fused implementation (same key-split order)."""
+    single = stems.ndim == 3
+    if single:
+        stems = stems[None]
+    B, S, C, T = stems.shape
+    params = draw_style_params(key, B, S, sample_rate)
+    x = apply_style(params, stems, sample_rate, fir_taps)
+    return x if not single else x[0]
 
 
 def synth_stems_v2(key: jax.Array, T: int,
@@ -286,3 +326,36 @@ def synth_two_crop_batch_v2(key: jax.Array, songs: int, T: int,
     stems = crops.reshape(songs * 2, *styled.shape[1:-1], T)
     labels = jnp.repeat(jnp.arange(songs), 2)
     return stems, labels
+
+
+def synth_confuser_batch_v2(key: jax.Array, songs: int, T: int,
+                            sample_rate: float = 44100.0,
+                            confuser_alpha: float = 0.02) -> jax.Array:
+    """Hard retrieval-eval batch: per song, one 2T dry piece rendered TWICE
+    — style S gives query crop A and key crop B (same mix, different crop,
+    the ref protocol, validate_retrieval.py:92-150); an alpha-interpolated
+    style S' = lerp(S, independent draw, alpha) on the SAME dry content
+    gives confuser crop C (a *slightly* "different mix of the same song",
+    ref: mixing_utils.py:364-479).  A retrieval pool of {all B} ∪ {all C}
+    can only be solved by resolving mixing styles finer than alpha: content
+    cues alone cannot rank B_i above C_i, and fully independent styles are
+    trivially separable for a trained encoder (measured: confuser never
+    beats the key at alpha=1), so the alpha knob is what keeps top1 off the
+    1.0 ceiling (round-2 verdict item 1).
+
+    Returns stems (3*songs, 4, 2, T) in [A0,B0,C0, A1,B1,C1, ...] order.
+    """
+    keys = jax.random.split(key, songs)
+
+    def one(k):
+        kd, ks1, ks2 = jax.random.split(k, 3)
+        dry = synth_dry_song(kd, 2 * T, sample_rate)[None]
+        p1 = draw_style_params(ks1, 1, dry.shape[1], sample_rate)
+        p2 = draw_style_params(ks2, 1, dry.shape[1], sample_rate)
+        pc = interpolate_style(p1, p2, confuser_alpha)
+        s1 = apply_style(p1, dry, sample_rate)[0]
+        sc = apply_style(pc, dry, sample_rate)[0]
+        return jnp.stack([s1[..., :T], s1[..., T:], sc[..., T:]])
+
+    crops = jax.vmap(one)(keys)  # (songs, 3, 4, 2, T)
+    return crops.reshape(songs * 3, *crops.shape[2:])

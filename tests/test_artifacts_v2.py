@@ -50,33 +50,48 @@ def test_scnet_v2_artifact_regression():
 
 @pytest.mark.slow
 def test_encoder_v2_artifact_regression():
-    """Same-mix retrieval on fresh held-out v2 songs near the recorded
-    value (which must be < 1.0 — the saturation the v2 corpus exists to
-    break)."""
+    """Retrieval on fresh held-out v2 songs, under the exact protocol the
+    artifact's metadata records (confuser protocol: the pool holds an
+    alpha-close different-style render of each song's content, so top1
+    measures mixing-style resolution and sits below the 1.0 ceiling —
+    round-2 verdict item 1)."""
     from mst_tpu.cli.train_style_transfer import _encoder_from_npz
     from mst_tpu.pipeline import embed_stems
-    from mst_tpu.separation.synth_v2 import synth_two_crop_batch_v2
+    from mst_tpu.separation.synth_v2 import (
+        synth_confuser_batch_v2,
+        synth_two_crop_batch_v2,
+    )
 
     npz, meta = _load_meta("encoder_synth2_best")
     assert meta["synth_version"] == 2
+    confuser = meta.get("eval_protocol") == "confuser"
     enc, variables, ecfg, fcfg = _encoder_from_npz(npz)
     T = ecfg.audio.clip_samples
     sr = float(ecfg.audio.sample_rate)
+    per = 3 if confuser else 2
 
     @jax.jit
     def chunk_embs(key):
-        stems, _ = synth_two_crop_batch_v2(key, 8, T, sr)
+        if confuser:
+            stems = synth_confuser_batch_v2(
+                key, 8, T, sr, confuser_alpha=meta["confuser_alpha"])
+        else:
+            stems, _ = synth_two_crop_batch_v2(key, 8, T, sr)
         return embed_stems(enc, variables, stems, fcfg)
 
-    qs, ps = [], []
+    qs, ps, cs = [], [], []
     n_songs = 64
     for i in range(0, n_songs, 8):
         emb = np.asarray(chunk_embs(jax.random.fold_in(
             jax.random.key(20260817), i)))
-        qs.append(emb[0::2])
-        ps.append(emb[1::2])
+        qs.append(emb[0::per])
+        ps.append(emb[1::per])
+        if confuser:
+            cs.append(emb[2::per])
     q = np.concatenate(qs)
     p = np.concatenate(ps)
+    if confuser:
+        p = np.concatenate([p, np.concatenate(cs)])
     q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
     p /= np.maximum(np.linalg.norm(p, axis=1, keepdims=True), 1e-12)
     top1 = float((np.argsort(-(q @ p.T), 1)[:, 0] == np.arange(len(q))).mean())

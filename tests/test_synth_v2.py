@@ -8,8 +8,12 @@ import jax
 import jax.numpy as jnp
 
 from mst_tpu.separation.synth_v2 import (
+    apply_style,
+    draw_style_params,
+    interpolate_style,
     render_style,
     synth_batch_v2,
+    synth_confuser_batch_v2,
     synth_dry_song,
     synth_two_crop_batch_v2,
 )
@@ -79,3 +83,55 @@ def test_mixing_style_is_a_shared_latent():
         d_same.append(np.mean(np.abs(fa - fb) / scale))
         d_diff.append(np.mean(np.abs(fa - fo) / (np.abs(fa) + np.abs(fo) + 1e-6)))
     assert np.mean(d_same) < np.mean(d_diff), (np.mean(d_same), np.mean(d_diff))
+
+
+def test_explicit_style_params_match_fused_render():
+    """draw_style_params + apply_style must reproduce render_style exactly
+    (same key-split order) — trained v2 artifacts' eval streams depend on
+    render_style being bit-stable across the refactor."""
+    key = jax.random.key(7)
+    dry = jax.jit(lambda k: synth_dry_song(k, T, SR))(jax.random.key(8))
+
+    @jax.jit
+    def both(k, stems):
+        fused = render_style(k, stems, SR)
+        p = draw_style_params(k, 1, stems.shape[0], SR)
+        explicit = apply_style(p, stems[None], SR)[0]
+        return fused, explicit
+
+    fused, explicit = both(key, dry)
+    np.testing.assert_array_equal(np.asarray(fused), np.asarray(explicit))
+
+
+def test_interpolate_style_endpoints_and_discretes():
+    p1 = draw_style_params(jax.random.key(1), 2, 4, SR)
+    p2 = draw_style_params(jax.random.key(2), 2, 4, SR)
+    at0 = interpolate_style(p1, p2, 0.0)
+    at1 = interpolate_style(p1, p2, 1.0)
+    for name in ("gain_db", "pan", "tilt_amt", "thresh", "ratio", "decay",
+                 "wet_amt"):
+        np.testing.assert_allclose(np.asarray(at0[name]), np.asarray(p1[name]))
+        np.testing.assert_allclose(np.asarray(at1[name]), np.asarray(p2[name]))
+    # discrete switches and reverb noise always stay at base
+    for name in ("use_high", "apply_c", "reverb_noise"):
+        np.testing.assert_array_equal(np.asarray(at1[name]),
+                                      np.asarray(p1[name]))
+
+
+def test_confuser_batch_layout_and_alpha():
+    """[A,B,C] per song; A/B share a mix (crops), C is the same content
+    under an alpha-close style — near-identical at alpha=0, increasingly
+    different with alpha."""
+    f = jax.jit(lambda k, a: synth_confuser_batch_v2(k, 2, T, SR,
+                                                     confuser_alpha=a))
+    x0 = np.asarray(f(jax.random.key(5), 0.0))
+    assert x0.shape == (6, 4, 2, T)
+    # alpha=0: confuser render == key render (same style params, discretes
+    # and reverb noise from base)
+    np.testing.assert_allclose(x0[2], x0[1], atol=1e-5)
+    np.testing.assert_allclose(x0[5], x0[4], atol=1e-5)
+    x_small = np.asarray(f(jax.random.key(5), 0.02))
+    x_big = np.asarray(f(jax.random.key(5), 0.5))
+    d_small = np.abs(x_small[2] - x_small[1]).mean()
+    d_big = np.abs(x_big[2] - x_big[1]).mean()
+    assert 0.0 < d_small < d_big, (d_small, d_big)

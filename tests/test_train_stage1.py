@@ -166,6 +166,41 @@ def test_on_device_synth_cli(tmp_path):
 
 
 @pytest.mark.slow
+def test_on_device_synth_v2_confuser_cli(tmp_path):
+    """--synth_version 2 defaults to the confuser eval protocol (pool holds
+    an alpha-close different-style render per song) and records it in the
+    artifact metadata; --init_npz warm-starts from a prior artifact."""
+    import json
+
+    from mst_tpu.cli import train as cli
+
+    tiny = [
+        "--log_dir", str(tmp_path / "logs"),
+        "--sample_rate", "8000", "--clip_duration", "0.25",
+        "--n_fft", "256", "--hop_length", "64", "--n_mels", "32",
+        "--encoder_dim", "32", "--band_split_size", "8", "--band_overlap", "4",
+        "--batch_size", "4", "--max_steps", "2",
+        "--eval_interval", "2", "--eval_songs", "4", "--log_interval", "1",
+    ]
+    ckpt = tmp_path / "v2"
+    cli.main(["--on_device_synth", "--synth_version", "2",
+              "--checkpoint_dir", str(ckpt), *tiny])
+    meta = json.loads((ckpt / "encoder_synth2_best.json").read_text())
+    assert meta["eval_protocol"] == "confuser"
+    assert meta["confuser_alpha"] == 0.02
+    assert 0.0 <= meta["top1"] <= 1.0
+
+    # warm start from the artifact just written (fresh bar: different alpha)
+    ckpt2 = tmp_path / "v2warm"
+    cli.main(["--on_device_synth", "--synth_version", "2",
+              "--checkpoint_dir", str(ckpt2),
+              "--init_npz", str(ckpt / "encoder_synth2_best.npz"),
+              "--confuser_alpha", "0.1", *tiny])
+    meta2 = json.loads((ckpt2 / "encoder_synth2_best.json").read_text())
+    assert meta2["confuser_alpha"] == 0.1
+
+
+@pytest.mark.slow
 def test_trained_encoder_retrieval_regression():
     """The committed trained encoder artifact must retrieve same-song crops
     far above chance on fresh held-out synthetic songs (the encoder
