@@ -59,6 +59,15 @@ def get_params(argv=None):
     p.add_argument("--init_npz", type=str, default=None,
                    help="warm-start the encoder from a saved .npz variables "
                         "artifact (on-device-synth path)")
+    p.add_argument("--hard_negative_alpha", type=float, default=0.0,
+                   help="> 0 (v2 only): train batches add, per song, a "
+                        "third crop rendered with an alpha-close "
+                        "interpolated style under a FRESH label — an "
+                        "explicit near-style InfoNCE negative that "
+                        "optimizes exactly what the confuser eval "
+                        "measures.  Per-batch alpha is drawn log-uniform "
+                        "in [alpha/2, 2*alpha] so resolution is learned "
+                        "across a band, not one offset")
     p.add_argument("--matmul_precision", choices=("default", "highest"),
                    default="default",
                    help="'highest' trains with f32-equivalent matmuls (3-pass "
@@ -210,8 +219,27 @@ def _train_on_device_synth_inner(args):
 
     batch_sh = data_sharding(mesh)
 
+    if args.hard_negative_alpha > 0 and synth_confuser_batch is None:
+        raise SystemExit("--hard_negative_alpha needs --synth_version 2 "
+                         "(v1 stems have no style latent)")
+
     @partial(jax.jit, out_shardings=(batch_sh, batch_sh))
     def synth_fn(key):
+        if args.hard_negative_alpha > 0:
+            # [A,B,C] per song: crops A/B share label i (positives); the
+            # alpha-close different-style crop C gets a fresh unique label
+            # so InfoNCE pushes it apart from its own song's mix — the
+            # hard-negative form of the confuser eval.
+            ka, kb = jax.random.split(key)
+            a0 = args.hard_negative_alpha
+            alpha = a0 / 2.0 * jnp.exp(
+                jax.random.uniform(ka) * jnp.log(4.0))
+            stems = synth_confuser_batch(kb, args.batch_size, T, sr,
+                                         confuser_alpha=alpha)
+            n = args.batch_size
+            labels = jnp.stack([jnp.arange(n), jnp.arange(n),
+                                n + jnp.arange(n)], axis=1).reshape(-1)
+            return stems, labels
         return synth_two_crop_batch(key, args.batch_size, T, sr)
 
     @jax.jit
@@ -315,6 +343,7 @@ def _train_on_device_synth_inner(args):
                     "confuser_alpha": (args.confuser_alpha
                                        if args.eval_protocol == "confuser"
                                        else None),
+                    "hard_negative_alpha": args.hard_negative_alpha,
                     "clip_duration": args.clip_duration,
                     "sample_rate": args.sample_rate,
                     "synth_version": args.synth_version,

@@ -14,6 +14,10 @@ style and discard content — the property the style-transfer loss
 (input and target are always different songs, ref:
 train_style_transfer.py:217-226).  Eval = style retrieval over held-out
 styles and songs (query: style i on song A; pool: style i on song B).
+Default protocol 'confuser' also puts an alpha-interpolated style on the
+same song B in the pool, so top1 measures style *resolution* and stays off
+the 1.0 ceiling (round-2 verdict item 1; ref "different mix of the same
+song": src/mixing_utils.py:364-479).
 
 Artifact: ``<checkpoint_dir>/fx_encoder_synth_best.npz`` — full variables
 (params + BN batch_stats), loadable by ``--encoder_type fx_encoder`` in the
@@ -43,6 +47,17 @@ def get_params(argv=None):
     p.add_argument("--warmup_steps", type=int, default=200)
     p.add_argument("--eval_interval", type=int, default=250)
     p.add_argument("--eval_styles", type=int, default=64)
+    p.add_argument("--eval_protocol", choices=("style", "confuser"),
+                   default="confuser",
+                   help="'style': pool holds only same-style/other-content "
+                        "renders (saturates for a trained encoder); "
+                        "'confuser': pool additionally holds an alpha-close "
+                        "interpolated style on the SAME pool content, so "
+                        "top1 measures style resolution (round-2 verdict "
+                        "item 1)")
+    p.add_argument("--confuser_alpha", type=float, default=0.05)
+    p.add_argument("--init_npz", type=str, default=None,
+                   help="warm-start variables (.npz with params+batch_stats)")
     p.add_argument("--log_interval", type=int, default=10)
     p.add_argument("--matmul_precision", choices=("default", "highest"),
                    default="default")
@@ -73,7 +88,13 @@ def _main_inner(args):
     from mst_tpu.losses import info_nce_loss
     from mst_tpu.models.fx_encoder import FxEncoder
     from mst_tpu.parallel import data_sharding, make_mesh
-    from mst_tpu.separation.synth_v2 import render_style, synth_dry_song
+    from mst_tpu.separation.synth_v2 import (
+        apply_style,
+        draw_style_params,
+        interpolate_style,
+        render_style,
+        synth_dry_song,
+    )
     from mst_tpu.train.schedules import warmup_cosine_schedule
 
     audio = audio_config_from_args(args)
@@ -117,6 +138,12 @@ def _main_inner(args):
     variables = jax.jit(fx.init)(jax.random.key(args.seed),
                                  jnp.zeros((1, 2, T)))
     params, batch_stats = variables["params"], variables["batch_stats"]
+    if args.init_npz:
+        from mst_tpu.checkpoints.npz_io import load_params_npz
+
+        w = load_params_npz(args.init_npz)
+        params, batch_stats = w["params"], w["batch_stats"]
+        print(f"warm-started fx encoder from {args.init_npz}", flush=True)
     opt_state = tx.init(params)
 
     def loss_fn(params, batch_stats, key):
@@ -136,28 +163,59 @@ def _main_inner(args):
         return optax.apply_updates(params, upd), new_bs, new_opt, loss
 
     ec = min(16, args.eval_styles)
+    confuser = args.eval_protocol == "confuser"
 
     @jax.jit
     def eval_chunk(params, batch_stats, key):
+        """'style': 2 views/style [query: style i on song A, key: style i on
+        song B].  'confuser': 3 views/style — the same two plus an
+        alpha-interpolated style on the SAME song B, so ranking the key
+        above the confuser requires resolving the mixing style finer than
+        alpha; content cues cannot help (both pool entries share song B).
+        Mirrors the stage-1 confuser protocol
+        (separation/synth_v2.synth_confuser_batch_v2)."""
         ks, kc = jax.random.split(key)
         style_keys = jax.random.split(ks, ec)
         content_keys = jax.random.split(kc, 2 * ec)
         dry = jax.vmap(lambda k: synth_dry_song(k, T, sr))(content_keys)
-        styles2 = jnp.repeat(jnp.arange(ec), 2)
-        mixed = jax.vmap(lambda sk, d: render_style(sk, d, sr))(
-            style_keys[styles2], dry).sum(axis=1)
+        if not confuser:
+            styles2 = jnp.repeat(jnp.arange(ec), 2)
+            mixed = jax.vmap(lambda sk, d: render_style(sk, d, sr))(
+                style_keys[styles2], dry).sum(axis=1)
+        else:
+            dry_a, dry_b = dry[0::2], dry[1::2]
+
+            def one(sk, da, db):
+                k1, k2 = jax.random.split(sk)
+                p = draw_style_params(k1, 1, da.shape[0], sr)
+                pc = interpolate_style(
+                    p, draw_style_params(k2, 1, da.shape[0], sr),
+                    args.confuser_alpha)
+                return jnp.stack([
+                    apply_style(p, da[None], sr)[0].sum(axis=0),
+                    apply_style(p, db[None], sr)[0].sum(axis=0),
+                    apply_style(pc, db[None], sr)[0].sum(axis=0),
+                ])
+
+            mixed = jax.vmap(one)(style_keys, dry_a, dry_b)
+            mixed = mixed.reshape(3 * ec, *mixed.shape[2:])
         return fx.apply({"params": params, "batch_stats": batch_stats},
                         mixed, train=False)
 
     def style_retrieval(params, batch_stats, key):
-        qs, ps = [], []
+        per = 3 if confuser else 2
+        qs, ps, cs = [], [], []
         for i in range(0, args.eval_styles, ec):
             emb = np.asarray(eval_chunk(params, batch_stats,
                                         jax.random.fold_in(key, i)))
-            qs.append(emb[0::2])
-            ps.append(emb[1::2])
+            qs.append(emb[0::per])
+            ps.append(emb[1::per])
+            if confuser:
+                cs.append(emb[2::per])
         q = np.concatenate(qs)[: args.eval_styles]
         p = np.concatenate(ps)[: args.eval_styles]
+        if confuser:
+            p = np.concatenate([p, np.concatenate(cs)[: args.eval_styles]])
         sim = q @ p.T  # embeddings are L2-normalized
         order = np.argsort(-sim, axis=1)
         truth = np.arange(len(q))
@@ -174,14 +232,18 @@ def _main_inner(args):
     prev_meta = ckpt_dir / "fx_encoder_synth_best.json"
     if prev_meta.exists():
         prev = json.loads(prev_meta.read_text())
-        # the recorded bar only applies to the same retrieval pool size —
-        # a 64-style 1.000 must not gate saves evaluated over 256 styles
-        if prev.get("eval_styles") == args.eval_styles:
+        # the recorded bar only applies under the SAME protocol: pool size,
+        # eval protocol, and (for confuser) alpha — a 64-style same-style
+        # 1.000 must not gate saves under a harder confuser eval
+        if (prev.get("eval_styles") == args.eval_styles
+                and prev.get("eval_protocol", "style") == args.eval_protocol
+                and (args.eval_protocol != "confuser"
+                     or prev.get("confuser_alpha") == args.confuser_alpha)):
             best_top1 = float(prev["top1"])
             print(f"existing best top1 {best_top1:.3f} — only saving above "
                   "it", flush=True)
         else:
-            print("existing best used a different eval pool — fresh bar",
+            print("existing best used a different eval protocol — fresh bar",
                   flush=True)
 
     for i in range(args.max_steps):
@@ -205,6 +267,10 @@ def _main_inner(args):
                 prev_meta.write_text(json.dumps({
                     "step": step, "top1": top1, "top5": top5,
                     "eval_styles": args.eval_styles,
+                    "eval_protocol": args.eval_protocol,
+                    "confuser_alpha": (args.confuser_alpha
+                                       if args.eval_protocol == "confuser"
+                                       else None),
                     "embed_dim": args.embed_dim,
                     "clip_duration": args.clip_duration,
                     "sample_rate": args.sample_rate,

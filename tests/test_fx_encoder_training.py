@@ -70,9 +70,16 @@ def test_committed_fx_artifact_regression():
     from mst_tpu.checkpoints.npz_io import load_params_npz
     from mst_tpu.config import AudioConfig
     from mst_tpu.models.fx_encoder import FxEncoder
-    from mst_tpu.separation.synth_v2 import render_style, synth_dry_song
+    from mst_tpu.separation.synth_v2 import (
+        apply_style,
+        draw_style_params,
+        interpolate_style,
+        render_style,
+        synth_dry_song,
+    )
 
     meta = json.loads(meta_path.read_text())
+    confuser = meta.get("eval_protocol") == "confuser"
     c = meta["config"]
     audio = AudioConfig(sample_rate=meta["sample_rate"],
                         clip_duration=meta["clip_duration"],
@@ -87,19 +94,40 @@ def test_committed_fx_artifact_regression():
 
     @jax.jit
     def views(key):
+        """Reproduces the protocol recorded in the artifact metadata
+        (see cli/train_fx_encoder.eval_chunk)."""
         ks, kc = jax.random.split(key)
         style_keys = jax.random.split(ks, n)
         content_keys = jax.random.split(kc, 2 * n)
         dry = jax.vmap(lambda k: synth_dry_song(k, T, sr))(content_keys)
-        styles2 = jnp.repeat(jnp.arange(n), 2)
-        mixed = jax.vmap(lambda sk, d: render_style(sk, d, sr))(
-            style_keys[styles2], dry).sum(axis=1)
+        if not confuser:
+            styles2 = jnp.repeat(jnp.arange(n), 2)
+            mixed = jax.vmap(lambda sk, d: render_style(sk, d, sr))(
+                style_keys[styles2], dry).sum(axis=1)
+        else:
+            def one(sk, da, db):
+                k1, k2 = jax.random.split(sk)
+                p = draw_style_params(k1, 1, da.shape[0], sr)
+                pc = interpolate_style(
+                    p, draw_style_params(k2, 1, da.shape[0], sr),
+                    meta["confuser_alpha"])
+                return jnp.stack([
+                    apply_style(p, da[None], sr)[0].sum(axis=0),
+                    apply_style(p, db[None], sr)[0].sum(axis=0),
+                    apply_style(pc, db[None], sr)[0].sum(axis=0),
+                ])
+
+            mixed = jax.vmap(one)(style_keys, dry[0::2], dry[1::2])
+            mixed = mixed.reshape(3 * n, *mixed.shape[2:])
         return fx.apply(w, mixed, train=False)
 
     emb = np.asarray(views(jax.random.key(123_456)))
-    q, p = emb[0::2], emb[1::2]
+    per = 3 if confuser else 2
+    q, p = emb[0::per], emb[1::per]
+    if confuser:
+        p = np.concatenate([p, emb[2::per]])
     top1 = float((np.argsort(-(q @ p.T), axis=1)[:, 0] == np.arange(n)).mean())
     # bar near the achieved value (metadata top1), with headroom for the
     # held-out key stream + platform numerics
-    assert top1 >= min(0.95 * meta["top1"], meta["top1"] - 0.1), (
+    assert top1 >= min(0.95 * meta["top1"], meta["top1"] - 0.15), (
         top1, meta["top1"])

@@ -201,6 +201,32 @@ def test_on_device_synth_v2_confuser_cli(tmp_path):
 
 
 @pytest.mark.slow
+def test_on_device_synth_v2_hard_negative_cli(tmp_path):
+    """--hard_negative_alpha trains on [A,B,C] batches where the alpha-close
+    different-style crop C carries a fresh label (near-style InfoNCE
+    negative), and records the setting in the artifact metadata."""
+    import json
+
+    from mst_tpu.cli import train as cli
+
+    ckpt = tmp_path / "v2hn"
+    cli.main([
+        "--on_device_synth", "--synth_version", "2",
+        "--hard_negative_alpha", "0.05",
+        "--checkpoint_dir", str(ckpt),
+        "--log_dir", str(tmp_path / "logs"),
+        "--sample_rate", "8000", "--clip_duration", "0.25",
+        "--n_fft", "256", "--hop_length", "64", "--n_mels", "32",
+        "--encoder_dim", "32", "--band_split_size", "8", "--band_overlap", "4",
+        "--batch_size", "4", "--max_steps", "2",
+        "--eval_interval", "2", "--eval_songs", "4", "--log_interval", "1",
+    ])
+    meta = json.loads((ckpt / "encoder_synth2_best.json").read_text())
+    assert meta["hard_negative_alpha"] == 0.05
+    assert 0.0 <= meta["top1"] <= 1.0
+
+
+@pytest.mark.slow
 def test_trained_encoder_retrieval_regression():
     """The committed trained encoder artifact must retrieve same-song crops
     far above chance on fresh held-out synthetic songs (the encoder
