@@ -58,6 +58,12 @@ def get_params(argv=None):
     p.add_argument("--confuser_alpha", type=float, default=0.05)
     p.add_argument("--init_npz", type=str, default=None,
                    help="warm-start variables (.npz with params+batch_stats)")
+    p.add_argument("--hard_negative_alpha", type=float, default=0.0,
+                   help="> 0: each style also renders its second song with "
+                        "an alpha-close interpolated style under a FRESH "
+                        "label — a near-style InfoNCE negative matching the "
+                        "confuser eval.  Per-batch alpha is log-uniform in "
+                        "[alpha/2, 2*alpha]")
     p.add_argument("--log_interval", type=int, default=10)
     p.add_argument("--matmul_precision", choices=("default", "highest"),
                    default="default")
@@ -116,19 +122,44 @@ def _main_inner(args):
 
     def synth_views(key):
         """(2B, 2, T) mixtures + (2B,) style labels: style i renders songs
-        2i and 2i+1 — same fx, different content.  The view axis is
+        2i and 2i+1 — same fx, different content.  With
+        --hard_negative_alpha > 0, a third view per style (song 2i+1 under
+        an alpha-close interpolated style, FRESH label) joins as a
+        near-style negative -> (3B, 2, T).  The view axis is
         sharding-constrained onto 'data' so generation + embedding spread
         over the mesh (no-op on one chip)."""
-        ks, kc = jax.random.split(key)
+        ks, kc, ka = jax.random.split(key, 3)
         style_keys = jax.random.split(ks, B)
         content_keys = jax.random.split(kc, 2 * B)
         dry = jax.vmap(lambda k: synth_dry_song(k, T, sr))(content_keys)
-        styles2 = jnp.repeat(jnp.arange(B), 2)
-        mixed = jax.vmap(lambda sk, d: render_style(sk, d, sr))(
-            style_keys[styles2], dry)
-        mixtures = jax.lax.with_sharding_constraint(
-            mixed.sum(axis=1), batch_sh)
-        return mixtures, styles2  # (2B, 2, T), (2B,)
+        if args.hard_negative_alpha > 0:
+            a0 = args.hard_negative_alpha
+            alpha = a0 / 2.0 * jnp.exp(
+                jax.random.uniform(ka) * jnp.log(4.0))
+
+            def one(sk, da, db):
+                k1, k2 = jax.random.split(sk)
+                p = draw_style_params(k1, 1, da.shape[0], sr)
+                pc = interpolate_style(
+                    p, draw_style_params(k2, 1, da.shape[0], sr), alpha)
+                return jnp.stack([
+                    apply_style(p, da[None], sr)[0].sum(axis=0),
+                    apply_style(p, db[None], sr)[0].sum(axis=0),
+                    apply_style(pc, db[None], sr)[0].sum(axis=0),
+                ])
+
+            mixed = jax.vmap(one)(style_keys, dry[0::2], dry[1::2])
+            mixtures = mixed.reshape(3 * B, *mixed.shape[2:])
+            labels = jnp.stack([jnp.arange(B), jnp.arange(B),
+                                B + jnp.arange(B)], axis=1).reshape(-1)
+        else:
+            styles2 = jnp.repeat(jnp.arange(B), 2)
+            mixed = jax.vmap(lambda sk, d: render_style(sk, d, sr))(
+                style_keys[styles2], dry)
+            mixtures = mixed.sum(axis=1)
+            labels = styles2
+        mixtures = jax.lax.with_sharding_constraint(mixtures, batch_sh)
+        return mixtures, labels  # (2B or 3B, 2, T), matching labels
 
     tx = optax.adamw(
         warmup_cosine_schedule(args.learning_rate, args.max_steps,
@@ -271,6 +302,7 @@ def _main_inner(args):
                     "confuser_alpha": (args.confuser_alpha
                                        if args.eval_protocol == "confuser"
                                        else None),
+                    "hard_negative_alpha": args.hard_negative_alpha,
                     "embed_dim": args.embed_dim,
                     "clip_duration": args.clip_duration,
                     "sample_rate": args.sample_rate,

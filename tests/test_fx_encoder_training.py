@@ -56,6 +56,23 @@ def test_fx_encoder_training_produces_consumable_artifact(tmp_path, capsys):
     assert (st_dir / "final").exists()
 
 
+def test_fx_hard_negative_training(tmp_path):
+    """--hard_negative_alpha trains on 3-view batches (near-style negative
+    under a fresh label) and records the setting in metadata."""
+    from mst_tpu.cli.train_fx_encoder import main as fx_main
+
+    ckpt = tmp_path / "fxhn"
+    fx_main([*TINY, "--embed_dim", "16", "--styles_per_batch", "2",
+             "--hard_negative_alpha", "0.1",
+             "--max_steps", "2", "--eval_interval", "2", "--eval_styles", "4",
+             "--log_interval", "1", "--checkpoint_dir", str(ckpt),
+             "--log_dir", str(tmp_path / "logs")])
+    meta = json.loads((ckpt / "fx_encoder_synth_best.json").read_text())
+    assert meta["hard_negative_alpha"] == 0.1
+    assert meta["eval_protocol"] == "confuser"
+    assert 0.0 <= meta["top1"] <= 1.0
+
+
 @pytest.mark.slow
 def test_committed_fx_artifact_regression():
     """The committed trained FxEncoder artifact keeps its style-retrieval
