@@ -151,6 +151,11 @@ def optimize_pairs(
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         data = NamedSharding(mesh, P("data"))
+        # inputs may arrive committed under a different sharding (e.g.
+        # slices of a batch-sharded array); re-place them explicitly so the
+        # jit in_shardings never conflict
+        keys, inp_all, tgt_all = (
+            jax.device_put(x, data) for x in (keys, inp_all, tgt_all))
         run = jax.jit(jax.vmap(single), in_shardings=(data, data, data),
                       out_shardings=data)
 
