@@ -73,6 +73,22 @@ def test_mesh_sharded_matches_unsharded(setup):
     np.testing.assert_allclose(out_m, out_u, atol=5e-3)
 
 
+def test_mesh_accepts_committed_inputs(setup):
+    """Inputs already committed under a DIFFERENT sharding (e.g. slices of
+    a batch-sharded array, as in __graft_entry__.dryrun_multichip) must not
+    conflict with the pair sharding: optimize_pairs re-places them."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    enc_apply, inputs, targets = setup
+    mesh = make_mesh()
+    repl = NamedSharding(mesh, P())  # replicated != P('data')
+    inp = jax.device_put(inputs[:2], repl)
+    tgt = jax.device_put(targets[:2], repl)
+    _, res = optimize_pairs(enc_apply, FCFG, inp, tgt, TCN_CFG,
+                            num_steps=1, mesh=mesh, rng=jax.random.key(9))
+    assert np.isfinite(res["final_distance"]).all()
+
+
 def test_single_pair_wrapper_matches_batched(setup):
     enc_apply, inputs, targets = setup
     out1, res1 = optimize_pair(enc_apply, FCFG, inputs[0], targets[0], TCN_CFG,
