@@ -212,3 +212,30 @@ def test_validate_retrieval_cli_committed_artifact(tmp_path):
     metrics = json.loads((out / "metrics.json").read_text())
     assert 0.0 <= metrics["top1_accuracy"] <= 1.0
     assert metrics["num_queries"] == 3
+
+
+def test_style_resolution_cli_curve(tmp_path):
+    """Style-resolution sweep runs on a tiny trained artifact and writes a
+    per-alpha top1/top5 curve whose keys match the requested alphas."""
+    from mst_tpu.cli.style_resolution import main as sweep_main
+    from mst_tpu.cli.train import main as train_main
+
+    ckpt = tmp_path / "ck"
+    train_main([
+        "--on_device_synth", "--synth_version", "2",
+        "--checkpoint_dir", str(ckpt), "--log_dir", str(tmp_path / "logs"),
+        *TINY, "--batch_size", "2", "--max_steps", "2",
+        "--eval_interval", "2", "--eval_songs", "2", "--log_interval", "1",
+    ])
+    out = tmp_path / "res.json"
+    res = sweep_main([
+        "--encoder_npz", str(ckpt / "encoder_synth2_best.npz"),
+        "--alphas", "0.05,1.0", "--songs", "3", "--chunk", "2",
+        "--output", str(out),
+    ])
+    saved = json.loads(out.read_text())
+    assert saved == res
+    assert [r["alpha"] for r in saved["curve"]] == [0.05, 1.0]
+    for r in saved["curve"]:
+        assert 0.0 <= r["top1"] <= r["top5"] <= 1.0
+    assert saved["pool_size"] == 6
