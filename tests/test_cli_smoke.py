@@ -21,6 +21,7 @@ CLIS = [
     "mst_tpu.cli.extract_song_identity",
     "mst_tpu.cli.demix",
     "mst_tpu.cli.train_fx_encoder",
+    "mst_tpu.cli.style_resolution",
 ]
 
 
