@@ -34,6 +34,11 @@ def get_params(argv=None):
         description="retrieval top1 vs confuser alpha (style resolution)")
     p.add_argument("--encoder_npz", type=str, required=True,
                    help="trained encoder artifact (+ sibling .json metadata)")
+    p.add_argument("--model", choices=("encoder", "fx"), default="encoder",
+                   help="'encoder': stem-level MixingStyleEncoder (same-song "
+                        "confuser pool); 'fx': mixture-level FxEncoder "
+                        "(same-style-other-song pool, the trainer's "
+                        "confuser eval)")
     p.add_argument("--alphas", type=str, default="0.005,0.01,0.02,0.05,0.1,1.0")
     p.add_argument("--songs", type=int, default=128)
     p.add_argument("--chunk", type=int, default=8,
@@ -53,6 +58,60 @@ def _topk(q: np.ndarray, pool: np.ndarray, k: int) -> np.ndarray:
     return (order[:, :k] == np.arange(len(q))[:, None]).any(axis=1)
 
 
+def _fx_chunk_fn(args, meta):
+    """(chunk_embs(key, alpha), T, sr) for a trained FxEncoder artifact:
+    per style, [query: style on song A, key: style on song B, confuser:
+    alpha-interpolated style on song B] — the fx trainer's confuser eval
+    (cli/train_fx_encoder.py) with alpha traced."""
+    import jax
+    import jax.numpy as jnp
+
+    from mst_tpu.checkpoints.npz_io import load_params_npz
+    from mst_tpu.config import AudioConfig
+    from mst_tpu.models.fx_encoder import FxEncoder
+    from mst_tpu.separation.synth_v2 import (
+        apply_style,
+        draw_style_params,
+        interpolate_style,
+        synth_dry_song,
+    )
+
+    c = meta["config"]
+    audio = AudioConfig(
+        sample_rate=meta["sample_rate"], clip_duration=meta["clip_duration"],
+        n_fft=c["n_fft"], hop_length=c["hop_length"], n_mels=c["n_mels"],
+        mel_method=c.get("mel_method", "rfft"),
+    )
+    fx = FxEncoder(audio=audio, embed_dim=meta["embed_dim"])
+    variables = load_params_npz(args.encoder_npz)
+    T = audio.clip_samples
+    sr = float(audio.sample_rate)
+
+    @jax.jit
+    def chunk_embs(key, alpha):
+        ks, kc = jax.random.split(key)
+        style_keys = jax.random.split(ks, args.chunk)
+        content_keys = jax.random.split(kc, 2 * args.chunk)
+        dry = jax.vmap(lambda k: synth_dry_song(k, T, sr))(content_keys)
+
+        def one(sk, da, db):
+            k1, k2 = jax.random.split(sk)
+            p = draw_style_params(k1, 1, da.shape[0], sr)
+            pc = interpolate_style(
+                p, draw_style_params(k2, 1, da.shape[0], sr), alpha)
+            return jnp.stack([
+                apply_style(p, da[None], sr)[0].sum(axis=0),
+                apply_style(p, db[None], sr)[0].sum(axis=0),
+                apply_style(pc, db[None], sr)[0].sum(axis=0),
+            ])
+
+        mixed = jax.vmap(one)(style_keys, dry[0::2], dry[1::2])
+        mixed = mixed.reshape(3 * args.chunk, *mixed.shape[2:])
+        return fx.apply(variables, mixed, train=False)
+
+    return chunk_embs, T, sr
+
+
 def main(argv=None):
     args = get_params(argv)
 
@@ -68,15 +127,18 @@ def main(argv=None):
     alphas = [float(a) for a in args.alphas.split(",")]
 
     with jax.default_matmul_precision(precision):
-        enc, variables, ecfg, fcfg = _encoder_from_npz(args.encoder_npz)
-        T = ecfg.audio.clip_samples
-        sr = float(ecfg.audio.sample_rate)
+        if args.model == "encoder":
+            enc, variables, ecfg, fcfg = _encoder_from_npz(args.encoder_npz)
+            T = ecfg.audio.clip_samples
+            sr = float(ecfg.audio.sample_rate)
 
-        @jax.jit
-        def chunk_embs(key, alpha):
-            stems = synth_confuser_batch_v2(key, args.chunk, T, sr,
-                                            confuser_alpha=alpha)
-            return embed_stems(enc, variables, stems, fcfg)  # [A,B,C]*chunk
+            @jax.jit
+            def chunk_embs(key, alpha):
+                stems = synth_confuser_batch_v2(key, args.chunk, T, sr,
+                                                confuser_alpha=alpha)
+                return embed_stems(enc, variables, stems, fcfg)  # [A,B,C]*chunk
+        else:
+            chunk_embs, T, sr = _fx_chunk_fn(args, meta)
 
         results = []
         for alpha in alphas:
@@ -102,6 +164,7 @@ def main(argv=None):
 
     out = {
         "encoder_npz": str(args.encoder_npz),
+        "model": args.model,
         "songs": args.songs,
         "pool_size": 2 * args.songs,
         "protocol": "confuser",

@@ -239,3 +239,27 @@ def test_style_resolution_cli_curve(tmp_path):
     for r in saved["curve"]:
         assert 0.0 <= r["top1"] <= r["top5"] <= 1.0
     assert saved["pool_size"] == 6
+
+
+def test_style_resolution_cli_fx_model(tmp_path):
+    """--model fx sweeps a trained FxEncoder artifact (mixture-level,
+    same-style-other-song confuser pool)."""
+    from mst_tpu.cli.style_resolution import main as sweep_main
+    from mst_tpu.cli.train_fx_encoder import main as fx_main
+
+    ckpt = tmp_path / "fx"
+    fx_main([
+        "--sample_rate", "8000", "--clip_duration", "0.25",
+        "--n_fft", "256", "--hop_length", "64", "--n_mels", "32",
+        "--embed_dim", "16", "--styles_per_batch", "2",
+        "--max_steps", "2", "--eval_interval", "2", "--eval_styles", "2",
+        "--log_interval", "1", "--checkpoint_dir", str(ckpt),
+        "--log_dir", str(tmp_path / "logs"),
+    ])
+    res = sweep_main([
+        "--encoder_npz", str(ckpt / "fx_encoder_synth_best.npz"),
+        "--model", "fx", "--alphas", "0.1", "--songs", "2", "--chunk", "2",
+        "--output", str(tmp_path / "fxres.json"),
+    ])
+    assert res["model"] == "fx"
+    assert 0.0 <= res["curve"][0]["top1"] <= 1.0
