@@ -87,6 +87,10 @@ def get_params(argv=None):
     p.add_argument("--log_interval", type=int, default=10)
     p.add_argument("--save_interval", type=int, default=5)
     p.add_argument("--checkpoint_dir", type=str, default="checkpoints/")
+    p.add_argument("--artifact_out", type=str, default=None,
+                   help="(corpus path) also save the best-val-loss encoder "
+                        "as a portable .npz artifact + sibling .json config "
+                        "(the layout --encoder_npz consumers load)")
     p.add_argument("--log_dir", type=str, default="logs/")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--use_augmentation", action="store_true",
@@ -368,6 +372,14 @@ def main(argv=None):
         return _train_on_device_synth(args)
 
     import jax
+
+    with jax.default_matmul_precision(
+            "highest" if args.matmul_precision == "highest" else "bfloat16"):
+        return _train_corpus(args)
+
+
+def _train_corpus(args):
+    import jax
     import jax.numpy as jnp
 
     from mst_tpu.augment import AugmentConfig, augment_stems
@@ -568,6 +580,28 @@ def main(argv=None):
             save_checkpoint(ckpt_dir / "best", int(state.step), state, cfg,
                             {"val_loss": val_loss if val_losses else None,
                              "epoch": epoch})
+            if args.artifact_out:
+                from mst_tpu.checkpoints.npz_io import save_params_npz
+
+                out = Path(args.artifact_out)
+                out.parent.mkdir(parents=True, exist_ok=True)
+                save_params_npz(out, {"params": state.params,
+                                      "batch_stats": state.batch_stats})
+                out.with_suffix(".json").write_text(json.dumps({
+                    "step": int(state.step), "epoch": epoch,
+                    "val_loss": val_loss if val_losses else None,
+                    "clip_duration": args.clip_duration,
+                    "sample_rate": args.sample_rate,
+                    "use_adversarial": args.use_adversarial,
+                    "matmul_precision": args.matmul_precision,
+                    "config": {
+                        "n_fft": args.n_fft, "hop_length": args.hop_length,
+                        "n_mels": args.n_mels, "mel_method": args.mel_method,
+                        "encoder_dim": args.encoder_dim,
+                        "band_split_size": args.band_split_size,
+                        "band_overlap": args.band_overlap,
+                    },
+                }, indent=2))
         if (epoch + 1) % args.save_interval == 0:
             save_checkpoint(ckpt_dir / "periodic", int(state.step), state, cfg,
                             {"val_loss": val_loss, "epoch": epoch})

@@ -22,6 +22,8 @@ CLIS = [
     "mst_tpu.cli.demix",
     "mst_tpu.cli.train_fx_encoder",
     "mst_tpu.cli.style_resolution",
+    "mst_tpu.cli.make_synth_corpus",
+    "mst_tpu.cli.probe_song_identity",
 ]
 
 
