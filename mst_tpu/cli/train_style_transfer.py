@@ -81,6 +81,10 @@ def get_params(argv=None):
     p.add_argument("--log_dir", type=str, default="logs/")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--max_steps", type=int, default=None)
+    p.add_argument("--init_npz", type=str, default=None,
+                   help="warm-start the TCN/FiLM weights from a previously "
+                        "saved *_best.npz artifact (--on_device_synth only; "
+                        "optimizer state restarts)")
     return p.parse_args(argv)
 
 
@@ -185,6 +189,13 @@ def _train_on_device_synth_inner(args):
 
     state, tcn, gen, tx = create_style_transfer_state(
         cfg, jax.random.key(args.seed), total_steps)
+    if args.init_npz:
+        from mst_tpu.checkpoints.npz_io import load_params_npz
+        w = load_params_npz(args.init_npz)
+        state = state.replace(tcn_params=w["tcn_params"],
+                              tcn_batch_stats=w["tcn_batch_stats"],
+                              film_params=w["film_params"])
+        print(f"warm-started TCN/FiLM weights from {args.init_npz}")
     step_fn = make_style_transfer_step(cfg, enc, enc_vars, tcn, gen, tx,
                                        mesh=mesh)
 

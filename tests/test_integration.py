@@ -172,3 +172,17 @@ def test_style_transfer_cli_on_device_synth(tmp_path):
     meta = json.loads((st_dir / "tcn_synth_best.json").read_text())
     assert (st_dir / "tcn_synth_best.npz").exists()
     assert meta["tcn"]["hidden_channels"] == 8
+
+    # --init_npz warm-starts a continuation run from the saved artifact
+    cont_dir = tmp_path / "st2"
+    st_cli.main([
+        "--on_device_synth", "--checkpoint_dir", str(cont_dir),
+        "--log_dir", str(tmp_path / "logs"), *common,
+        "--encoder_npz", str(enc_dir / "encoder_synth_best.npz"),
+        "--init_npz", str(st_dir / "tcn_synth_best.npz"),
+        "--hidden_channels", "8", "--num_blocks", "2", "--kernel_size", "5",
+        "--batch_size", "2", "--gradient_accumulation_steps", "2",
+        "--max_steps", "2", "--eval_interval", "2", "--eval_pairs", "2",
+        "--log_interval", "1", "--no_cycle_consistency",
+    ])
+    assert (cont_dir / "tcn_synth_best.npz").exists()
