@@ -21,6 +21,10 @@ def get_params(argv=None):
     add_audio_args(p)
     add_model_args(p)
     p.add_argument("--checkpoint", type=str, default=None)
+    p.add_argument("--encoder_npz", type=str, default=None,
+                   help="trained encoder artifact (.npz + sibling .json "
+                        "config); overrides --checkpoint and the "
+                        "audio/model args")
     p.add_argument("--num_pairs", type=int, default=10)
     p.add_argument("--output", type=str, default="distinctive_pairs.json")
     p.add_argument("--seed", type=int, default=42)
@@ -40,15 +44,24 @@ def main(argv=None):
     from mst_tpu.models import MixingStyleEncoder
     from mst_tpu.train import create_stage1_state
 
-    enc_cfg = encoder_config_from_args(args)
-    fcfg = feature_config_from_args(args)
-    enc = MixingStyleEncoder(enc_cfg)
-    s1state, _, _ = create_stage1_state(
-        Stage1Config(encoder=enc_cfg, features=fcfg), jax.random.key(args.seed), 1
-    )
-    if args.checkpoint:
-        s1state = restore_checkpoint(args.checkpoint, None, s1state)
-    enc_vars = {"params": s1state.params, "batch_stats": s1state.batch_stats}
+    if args.encoder_npz:
+        from mst_tpu.cli.train_style_transfer import _encoder_from_npz
+
+        enc, enc_vars, enc_cfg, fcfg = _encoder_from_npz(args.encoder_npz)
+        args.sample_rate = enc_cfg.audio.sample_rate
+        args.clip_duration = enc_cfg.audio.clip_duration
+    else:
+        enc_cfg = encoder_config_from_args(args)
+        fcfg = feature_config_from_args(args)
+        enc = MixingStyleEncoder(enc_cfg)
+        s1state, _, _ = create_stage1_state(
+            Stage1Config(encoder=enc_cfg, features=fcfg),
+            jax.random.key(args.seed), 1
+        )
+        if args.checkpoint:
+            s1state = restore_checkpoint(args.checkpoint, None, s1state)
+        enc_vars = {"params": s1state.params,
+                    "batch_stats": s1state.batch_stats}
 
     dataset = FMABaselineDataset(args.separated_path, args.sample_rate,
                                  args.clip_duration, num_segments=1,

@@ -112,6 +112,37 @@ def test_distinctive_pairs_cli_chain(tiny_corpus, tmp_path):
     assert (out / "pair0_transferred.wav").exists()
 
 
+def test_distinctive_pairs_cli_chain_encoder_npz(tiny_corpus, tmp_path):
+    """The distinctive-pairs chain consumes a trained .npz encoder artifact
+    via --encoder_npz (audio/model config read from the artifact metadata,
+    as with the committed artifacts/encoder_synth2_best.npz)."""
+    from mst_tpu.cli.run_distinctive_pairs_transfer import main as run_main
+    from mst_tpu.cli.select_distinctive_pairs import main as select_main
+    from mst_tpu.cli.train import main as train_main
+
+    ckpt = tmp_path / "enc"
+    train_main([
+        "--on_device_synth", "--checkpoint_dir", str(ckpt),
+        "--log_dir", str(tmp_path / "logs"), *TINY,
+        "--batch_size", "2", "--max_steps", "2",
+        "--eval_interval", "2", "--eval_songs", "2", "--log_interval", "1",
+    ])
+    npz = ckpt / "encoder_synth_best.npz"
+
+    pairs = tmp_path / "pairs.json"
+    select_main(["--separated_path", str(tiny_corpus),
+                 "--encoder_npz", str(npz),
+                 "--output", str(pairs), "--num_pairs", "2"])
+    assert len(json.loads(pairs.read_text())["pairs"]) == 2
+
+    out = tmp_path / "transfer"
+    run_main(["--pairs_json", str(pairs), "--output_dir", str(out),
+              "--encoder_npz", str(npz), "--num_steps", "2"])
+    res = json.loads((out / "results.json").read_text())
+    assert len(res) == 2
+    assert (out / "pair0_transferred.wav").exists()
+
+
 def test_per_pair_cli_results(tiny_corpus, tmp_path):
     """Per-pair TCN optimization driver end-to-end
     (ref: inference/test_tcn_style_transfer.py)."""
