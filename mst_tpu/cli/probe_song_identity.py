@@ -33,6 +33,11 @@ def get_params(argv=None):
     p.add_argument("--separated_path", type=str, required=True)
     p.add_argument("--song_id_cache", type=str, required=True,
                    help=".npz/.pt song-ID cache (cli/extract_song_identity)")
+    p.add_argument("--styles_json", type=str, default=None,
+                   help="styles.json from make_synth_corpus --n_styles: "
+                        "adds style-aware retrieval metrics (nearest "
+                        "OTHER-track neighbor shares the style), the "
+                        "signal that must survive identity removal")
     p.add_argument("--l2", type=float, default=1.0)
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--output", type=str, default=None)
@@ -88,6 +93,25 @@ def _style_top1(q: np.ndarray, pool: np.ndarray) -> float:
     return float((np.argmax(q @ p.T, axis=1) == np.arange(len(q))).mean())
 
 
+def _style_match_excl_self(q: np.ndarray, pool: np.ndarray,
+                           labels: np.ndarray) -> dict:
+    """Nearest OTHER-track crop-B neighbor shares the query's style label.
+    Content-free by construction (the same track is masked out), so this is
+    the style signal that must survive adversarial identity removal."""
+    q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    p = pool / np.maximum(np.linalg.norm(pool, axis=1, keepdims=True), 1e-12)
+    sims = q @ p.T
+    np.fill_diagonal(sims, -np.inf)
+    hit = labels[np.argmax(sims, axis=1)] == labels
+    n = len(labels)
+    cluster = np.array([(labels == l).sum() for l in labels])
+    return {
+        "style_match_top1_excl_self": float(hit.mean()),
+        "style_match_chance": float(((cluster - 1) / (n - 1)).mean()),
+        "style_cluster_id_ceiling": float((1.0 / cluster).mean()),
+    }
+
+
 def main(argv=None):
     args = get_params(argv)
     import jax
@@ -117,6 +141,10 @@ def main(argv=None):
 
     metrics = song_identity_probe(emb_a, emb_b, song_id, args.l2)
     metrics["style_retrieval_top1"] = _style_top1(emb_a, emb_b)
+    if args.styles_json:
+        styles = json.loads(Path(args.styles_json).read_text())
+        labels = np.array([styles[Path(d).name] for d in track_dirs])
+        metrics.update(_style_match_excl_self(emb_a, emb_b, labels))
     metrics["encoder_npz"] = str(args.encoder_npz)
     metrics["song_id_cache"] = str(args.song_id_cache)
 

@@ -101,6 +101,44 @@ def test_encoder_v2_artifact_regression():
 
 
 @pytest.mark.slow
+def test_adversarial_demo_evidence():
+    """Committed adversarial-demo evidence (scripts/run_adversarial_demo.sh):
+    GRL training measurably reduced song-identity decodability versus the
+    same-budget baseline while style retrieval survived — the evaluation
+    the reference's adversarial stack (src/train.py:130-204, src/grl.py)
+    never runs.  Also re-drives the committed adversarial encoder artifact
+    to catch load regressions."""
+    import jax
+
+    from mst_tpu.cli.train_style_transfer import _encoder_from_npz
+    from mst_tpu.pipeline import embed_stems
+    from mst_tpu.separation.synth_v2 import synth_batch_v2
+
+    path = ROOT / "artifacts" / "adversarial_demo" / "metrics.json"
+    if not path.exists():
+        pytest.skip("adversarial demo not run yet")
+    m = json.loads(path.read_text())
+    base, adv = m["baseline"], m["adversarial"]
+    # identity decodability dropped under GRL (style-pool corpus, so the
+    # drop is measurable: identity is not determined by style)...
+    assert adv["probe_id_top1"] < base["probe_id_top1"], m
+    assert adv["probe_cosine"] < base["probe_cosine"], m
+    # ...while the content-free style signal survived: nearest OTHER-track
+    # neighbor shares the mixing style, well above chance
+    assert (adv["style_match_top1_excl_self"]
+            >= 3 * adv["style_match_chance"]), adv
+    # the committed adversarial encoder loads and embeds finite vectors
+    enc, variables, ecfg, fcfg = _encoder_from_npz(
+        ROOT / "artifacts" / "encoder_adv_demo.npz")
+    stems = synth_batch_v2(jax.random.key(0), 2, ecfg.audio.clip_samples,
+                           float(ecfg.audio.sample_rate))
+    emb = np.asarray(jax.jit(
+        lambda s: embed_stems(enc, variables, s, fcfg))(stems))
+    assert emb.shape == (2, ecfg.embed_dim)
+    assert np.isfinite(emb).all()
+
+
+@pytest.mark.slow
 def test_tcn_v2_artifact_regression():
     """e2e embedding-distance improvement on fresh v2 pairs near the
     recorded value."""

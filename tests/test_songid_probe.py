@@ -54,6 +54,63 @@ def test_make_synth_corpus_writes_loadable_deterministic_corpus(tmp_path):
     assert _read_bytes(root2 / "track_0001" / "drums.wav") == blob
 
 
+def test_make_synth_corpus_style_pool(tmp_path):
+    """--n_styles K renders song i with shared style i % K, records the
+    assignment in styles.json, and stays byte-deterministic; the probe CLI
+    reads styles.json into style-aware metrics."""
+    from mst_tpu.cli.make_synth_corpus import main
+
+    root = tmp_path / "pool"
+    argv = ["--output", str(root), "--n_songs", "4", "--duration", "1.0",
+            "--sample_rate", "8000", "--synth_version", "2", "--seed", "3",
+            "--n_styles", "2"]
+    main(argv)
+    styles = json.loads((root / "styles.json").read_text())
+    assert styles == {"track_0000": 0, "track_0001": 1,
+                      "track_0002": 0, "track_0003": 1}
+    assert json.loads((root / "manifest.json").read_text())["n_styles"] == 2
+
+    # same style, different content: tracks 0 and 2 are distinct audio
+    a = _read_bytes(root / "track_0000" / "vocals.wav")
+    b = _read_bytes(root / "track_0002" / "vocals.wav")
+    assert a != b
+
+    # byte-deterministic regeneration (style pool is seeded too)
+    root2 = tmp_path / "pool2"
+    main(["--output", str(root2), *argv[2:]])
+    assert _read_bytes(root2 / "track_0002" / "drums.wav") == \
+        _read_bytes(root / "track_0002" / "drums.wav")
+
+    # v1 has no explicit style latent
+    with pytest.raises(SystemExit):
+        main(["--output", str(tmp_path / "bad"), "--n_songs", "2",
+              "--duration", "1.0", "--sample_rate", "8000",
+              "--synth_version", "1", "--n_styles", "2"])
+
+
+def test_style_match_excl_self_metric():
+    """The content-free style metric: a style-only embedding scores 1.0,
+    noise scores ~chance, and the cluster ceiling reflects cluster sizes."""
+    from mst_tpu.cli.probe_song_identity import _style_match_excl_self
+
+    rng = np.random.default_rng(0)
+    n, k = 32, 4
+    labels = np.arange(n) % k
+    centers = rng.standard_normal((k, 8))
+    style_only = centers[labels] + 0.01 * rng.standard_normal((n, 8))
+    pure = _style_match_excl_self(style_only,
+                                  centers[labels]
+                                  + 0.01 * rng.standard_normal((n, 8)),
+                                  labels)
+    assert pure["style_match_top1_excl_self"] == 1.0
+    assert pure["style_match_chance"] == pytest.approx((n / k - 1) / (n - 1))
+    assert pure["style_cluster_id_ceiling"] == pytest.approx(k / n)
+
+    noise = _style_match_excl_self(rng.standard_normal((n, 8)),
+                                   rng.standard_normal((n, 8)), labels)
+    assert noise["style_match_top1_excl_self"] < 0.5
+
+
 def test_probe_separates_informative_from_uninformative_embeddings():
     """A linear decode of song identity scores ~1.0; an embedding with no
     song-identity information scores near chance."""
