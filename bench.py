@@ -95,16 +95,22 @@ def _build_full_pipeline(batch_size: int):
     return pipeline, mix
 
 
-def _throughput(fn, arg, batch: int, iters: int) -> float:
+def _throughput(fn, arg, batch: int, iters: int, repeats: int = 3) -> float:
+    """Median of ``repeats`` timed windows: a single window is at the mercy
+    of host-side scheduling jitter (round-2 verdict asked for <10% spread
+    across bench runs)."""
     import jax
 
     out = fn(arg)
     jax.block_until_ready(out)  # compile + warmup
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(arg)
-    jax.block_until_ready(out)
-    return batch * iters / (time.perf_counter() - t0)
+    rates = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(arg)
+        jax.block_until_ready(out)
+        rates.append(batch * iters / (time.perf_counter() - t0))
+    return sorted(rates)[len(rates) // 2]
 
 
 def _measure_full_tpu(batch_size: int = 8, iters: int = 10) -> float:
@@ -135,14 +141,16 @@ def _cpu_probe():
     pipeline, mix = _build_full_pipeline(1)
     out = pipeline(mix)
     jax.block_until_ready(out)  # compile + warmup
-    iters = 0
+    durs = []
     t0 = time.perf_counter()
-    while iters < 5 or (time.perf_counter() - t0) < 45.0:
+    while len(durs) < 5 or (time.perf_counter() - t0) < 45.0:
+        t1 = time.perf_counter()
         jax.block_until_ready(pipeline(mix))
-        iters += 1
-        if iters >= 16:
+        durs.append(time.perf_counter() - t1)
+        if len(durs) >= 16:
             break
-    cps = iters / (time.perf_counter() - t0)
+    # median per-clip time: robust to transient host contention
+    cps = 1.0 / sorted(durs)[len(durs) // 2]
     print(f"CPU_CLIPS_PER_SEC {cps:.6f}", flush=True)
 
 
@@ -240,12 +248,15 @@ def _measure_stage1_train(batch: int = 8, segments: int = 2,
     key = jax.random.key(1)
     state, m = step_fn(state, batch_d, key)
     jax.block_until_ready(m["total"])
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, m = step_fn(state, batch_d, key)
-    jax.block_until_ready(m["total"])
+    rates = []
+    for _ in range(3):  # median window (see _throughput)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, m = step_fn(state, batch_d, key)
+        jax.block_until_ready(m["total"])
+        rates.append(n * iters / (time.perf_counter() - t0))
     # each step consumes n clips and augments them to 2n contrastive views
-    return n * iters / (time.perf_counter() - t0)
+    return sorted(rates)[1]
 
 
 def _measure_e2e_transfer(iters: int = 10) -> float:
@@ -280,11 +291,14 @@ def _measure_e2e_transfer(iters: int = 10) -> float:
 
     out, d = transfer(inp, tgt)
     jax.block_until_ready(d)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out, d = transfer(inp, tgt)
-    jax.block_until_ready(d)
-    return (time.perf_counter() - t0) / iters * 1e3
+    times = []
+    for _ in range(3):  # median window (see _throughput)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out, d = transfer(inp, tgt)
+        jax.block_until_ready(d)
+        times.append((time.perf_counter() - t0) / iters * 1e3)
+    return sorted(times)[1]
 
 
 def main():
