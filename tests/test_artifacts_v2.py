@@ -138,6 +138,25 @@ def test_adversarial_demo_evidence():
     assert np.isfinite(emb).all()
 
 
+def test_distinctive_pairs_v2_evidence():
+    """Committed distinctive-pairs evidence
+    (scripts/run_distinctive_pairs_v2.sh): the trained v2 encoder selects
+    low-similarity pairs from a v2 corpus and the per-pair optimization
+    converges past the reference's >=20% criterion
+    (ref: inference/test_tcn_style_transfer.py:200)."""
+    out = ROOT / "artifacts" / "distinctive_pairs_v2"
+    if not (out / "results.json").exists():
+        pytest.skip("distinctive-pairs v2 evidence not produced yet")
+    pairs = json.loads((out / "pairs.json").read_text())["pairs"]
+    results = json.loads((out / "results.json").read_text())
+    assert len(results) == len(pairs) >= 2
+    for p, r in zip(pairs, results):
+        assert p["similarity"] < 0.5  # genuinely distinctive
+        assert r["improvement"] >= 0.2, r
+        assert r["converged"] is True
+        assert 0.0 <= r["final_distance"] < r["initial_distance"]
+
+
 @pytest.mark.slow
 def test_tcn_v2_artifact_regression():
     """e2e embedding-distance improvement on fresh v2 pairs near the
