@@ -45,6 +45,11 @@ def get_params(argv=None):
     p.add_argument("--hop_length", type=int, default=1024)
     p.add_argument("--dims", type=int, nargs="+", default=[4, 32, 64, 128])
     p.add_argument("--num_dplayers", type=int, default=6)
+    p.add_argument("--rnn_impl", choices=("flax", "fused", "lru"),
+                   default="flax",
+                   help="dual-path core: 'flax'/'fused' BiLSTM (same "
+                        "checkpoints) or 'lru' associative-scan linear "
+                        "recurrence (different model, own checkpoints)")
     p.add_argument("--no_augment", action="store_true")
     p.add_argument("--log_interval", type=int, default=10)
     p.add_argument("--checkpoint_dir", type=str, default="checkpoints/scnet")
@@ -96,6 +101,7 @@ def main(argv=None):
     cfg = SCNetConfig(
         n_fft=args.n_fft, hop_length=args.hop_length,
         dims=tuple(args.dims), num_dplayers=args.num_dplayers,
+        rnn_impl=args.rnn_impl,
     )
     chunk = int(args.chunk_seconds * args.sample_rate)
 
@@ -166,6 +172,7 @@ def _train_on_device_synth(args):
     cfg = SCNetConfig(
         n_fft=args.n_fft, hop_length=args.hop_length,
         dims=tuple(args.dims), num_dplayers=args.num_dplayers,
+        rnn_impl=args.rnn_impl,
     )
     chunk = int(args.chunk_seconds * args.sample_rate)
     total_steps = args.max_steps or 30000
@@ -228,7 +235,8 @@ def _train_on_device_synth(args):
                     "synth_version": args.synth_version,
                     "config": {"n_fft": cfg.n_fft, "hop_length": cfg.hop_length,
                                "dims": list(cfg.dims),
-                               "num_dplayers": cfg.num_dplayers},
+                               "num_dplayers": cfg.num_dplayers,
+                               "rnn_impl": cfg.rnn_impl},
                 }, indent=2))
         if step % args.save_interval == 0:
             save_params_npz(ckpt_dir / f"{stem}_last.npz", state.params)
