@@ -111,6 +111,7 @@ class SCNetSeparator:
                     hop_length=mc.get("hop_length", 1024),
                     dims=tuple(mc.get("dims", (4, 32, 64, 128))),
                     num_dplayers=mc.get("num_dplayers", 6),
+                    rnn_impl=mc.get("rnn_impl", "flax"),
                 )
                 chunk_seconds = meta.get("chunk_seconds", chunk_seconds)
         cfg = cfg or SCNetConfig()

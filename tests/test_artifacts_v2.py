@@ -24,19 +24,24 @@ def _load_meta(stem):
 
 
 @pytest.mark.slow
-def test_scnet_v2_artifact_regression():
+@pytest.mark.parametrize("stem", ["scnet_synth2_best",
+                                  "scnet_synth2_lru_best"])
+def test_scnet_v2_artifact_regression(stem):
     """Held-out v2 SI-SDR within noise of the recorded best (fresh eval key;
-    bar = recorded - 1.5 dB), and clearly above the mixture baseline."""
+    bar = recorded - 1.5 dB), and clearly above the mixture baseline.
+    Covers both dual-path cores: the BiLSTM artifact and the
+    associative-scan LRU artifact (equal-budget A/B: 0.36 vs 0.34 dB)."""
     from mst_tpu.checkpoints.npz_io import load_params_npz
     from mst_tpu.separation import SCNet, SCNetConfig
     from mst_tpu.separation.train import make_synth_eval_fn
 
-    npz, meta = _load_meta("scnet_synth2_best")
+    npz, meta = _load_meta(stem)
     assert meta["synth_version"] == 2
     c = meta["config"]
     model = SCNet(SCNetConfig(n_fft=c["n_fft"], hop_length=c["hop_length"],
                               dims=tuple(c["dims"]),
-                              num_dplayers=c["num_dplayers"]))
+                              num_dplayers=c["num_dplayers"],
+                              rnn_impl=c.get("rnn_impl", "flax")))
     params = load_params_npz(npz)
     chunk = int(meta["chunk_seconds"] * meta["sample_rate"])
     eval_fn = make_synth_eval_fn(model, 8, chunk, float(meta["sample_rate"]),
