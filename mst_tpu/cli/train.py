@@ -103,6 +103,20 @@ def get_params(argv=None):
     p.add_argument("--song_id_cache_path", type=str, default=None)
     p.add_argument("--discriminator_hidden_dim", type=int, default=512)
     p.add_argument("--discriminator_dropout", type=float, default=0.3)
+    p.add_argument("--disc_detach_train", action="store_true",
+                   help="also train the discriminator on detached "
+                        "embeddings (full-strength head; plain DANN's "
+                        "reversed-only head stays too weak to exert "
+                        "removal pressure - see Stage1Config)")
+    p.add_argument("--disc_learning_rate", type=float, default=None,
+                   help="separate constant-LR Adam for the discriminator "
+                        "(default: share the encoder's warmup-cosine "
+                        "schedule, which starves the adversary on runs "
+                        "shorter than the warmup - see Stage1Config)")
+    p.add_argument("--disc_steps", type=int, default=1,
+                   help="discriminator updates per train step (>1 adds "
+                        "adversary-only inner steps on the detached batch "
+                        "embedding)")
     p.add_argument("--resume", type=str, default=None,
                    help="orbax checkpoint dir to resume from")
     p.add_argument("--resume_torch", type=str, default=None,
@@ -431,6 +445,9 @@ def _train_corpus(args):
         fixed_grl_lambda=args.fixed_grl_lambda,
         discriminator_hidden_dim=args.discriminator_hidden_dim,
         discriminator_dropout=args.discriminator_dropout,
+        disc_detach_train=args.disc_detach_train,
+        disc_learning_rate=args.disc_learning_rate,
+        disc_steps=args.disc_steps,
         use_augmentation=args.use_augmentation,
     )
 

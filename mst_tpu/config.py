@@ -14,7 +14,7 @@ from __future__ import annotations
 import dataclasses
 import json
 from dataclasses import dataclass, field
-from typing import Any, Tuple
+from typing import Any, Optional, Tuple
 
 
 def _asdict(cfg) -> dict:
@@ -156,6 +156,24 @@ class Stage1Config:
     discriminator_hidden_dim: int = 512
     discriminator_dropout: float = 0.3
     discriminator_noise: float = 0.0
+    # Train the discriminator on DETACHED embeddings in addition to the
+    # GRL path.  In plain DANN (the reference's design, grl.py) the head's
+    # only learning signal passes through the reversal, so it chases a
+    # moving target and stays weak — measured: zero identity-probe drop at
+    # lambda up to 10 while InfoNCE converges.  With a full-strength head
+    # the reversed gradient actually points at the content subspace.
+    disc_detach_train: bool = False
+    # Separate constant-LR Adam for the discriminator.  None = share the
+    # encoder's warmup-cosine AdamW (legacy/ref behavior, train.py:586-644)
+    # — which on short runs (max_steps << warmup_steps) keeps the adversary's
+    # LR near zero the whole time: measured disc cosine fit 0.30 after 500
+    # steps while a ridge probe decodes the same embeddings at 0.90.
+    disc_learning_rate: Optional[float] = None
+    # Inner discriminator updates per train step (k-1 extra Adam steps on the
+    # detached embedding after the joint update).  >1 keeps the adversary
+    # near-converged so the reversed gradient points at the true identity
+    # subspace (alternating-update GAN/DANN practice).
+    disc_steps: int = 1
     song_id_dim: int = 512
     # on-device augmentation chain for negative pairs
     use_augmentation: bool = False

@@ -55,6 +55,18 @@ def _make_optimizer(cfg: Stage1Config, total_steps: int) -> optax.GradientTransf
     )
 
 
+def _make_disc_optimizer(
+    cfg: Stage1Config, total_steps: int
+) -> optax.GradientTransformation:
+    """Discriminator optimizer: constant-LR Adam when
+    ``cfg.disc_learning_rate`` is set, else the shared encoder schedule
+    (see Stage1Config.disc_learning_rate for why the shared schedule
+    starves the adversary on short runs)."""
+    if cfg.disc_learning_rate is None:
+        return _make_optimizer(cfg, total_steps)
+    return optax.adam(cfg.disc_learning_rate)
+
+
 def create_stage1_state(
     cfg: Stage1Config, rng: jax.Array, total_steps: int
 ) -> tuple[Stage1State, MixingStyleEncoder, Optional[SongIdentityDiscriminator]]:
@@ -84,7 +96,7 @@ def create_stage1_state(
         disc_params = disc.init(
             jax.random.fold_in(rng, 1), jnp.zeros((2, cfg.encoder.embed_dim))
         )["params"]
-        disc_opt_state = tx.init(disc_params)
+        disc_opt_state = _make_disc_optimizer(cfg, total_steps).init(disc_params)
 
     state = Stage1State(
         params=params,
@@ -127,8 +139,19 @@ def make_train_step(
     (N/chips, N) row block and psums the reduction — the explicit-collective
     variant.  Both are parity-tested (tests/test_train_stage1.py)."""
     tx = _make_optimizer(cfg, total_steps)
+    disc_tx = _make_disc_optimizer(cfg, total_steps)
 
     from mst_tpu.pipeline import embed_stems
+
+    def _disc_fit_loss(dp, emb_sg, t, drng):
+        """Cosine fit of the head on detached embeddings (the adversary's
+        own objective for inner updates; targets ``t`` pre-normalized)."""
+        pred = disc.apply({"params": dp}, emb_sg, train=True,
+                          rngs={"dropout": drng})
+        p = pred / jnp.maximum(
+            jnp.linalg.norm(pred, axis=1, keepdims=True), 1e-12
+        )
+        return jnp.mean(1.0 - jnp.sum(p * t, axis=1))
 
     if infonce_impl == "shard_map":
         if mesh is None:
@@ -215,24 +238,56 @@ def make_train_step(
             )
             adv_loss = jnp.mean(1.0 - jnp.sum(p * t, axis=1))
             total = total + adv_lam * adv_loss
+            if cfg.disc_detach_train:
+                # full-strength head: its own loss on stop_grad(emb), so
+                # the head's learning does not fight the reversal (see
+                # Stage1Config.disc_detach_train)
+                disc_fit = _disc_fit_loss(
+                    disc_params, jax.lax.stop_gradient(emb), t,
+                    jax.random.fold_in(rng, 4),
+                )
+                total = total + disc_fit
+                metrics["disc_fit"] = disc_fit
             metrics["adversarial"] = adv_loss
             metrics["grl_lambda"] = grl_lam
             metrics["adv_lambda"] = adv_lam
+            adv_aux = (jax.lax.stop_gradient(emb), t)
+        else:
+            adv_aux = None
 
         metrics["total"] = total
-        return total, (updates["batch_stats"], metrics)
+        return total, (updates["batch_stats"], metrics, adv_aux)
 
     def train_step(state: Stage1State, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
         if cfg.use_adversarial and disc is not None:
-            (loss, (new_bs, metrics)), grads = jax.value_and_grad(
+            (loss, (new_bs, metrics, adv_aux)), grads = jax.value_and_grad(
                 loss_fn, argnums=(0, 1), has_aux=True
             )(state.params, state.disc_params, state.batch_stats, batch, rng, state.step)
             g_enc, g_disc = grads
             upd, new_opt = tx.update(g_enc, state.opt_state, state.params)
             new_params = optax.apply_updates(state.params, upd)
-            d_upd, new_d_opt = tx.update(g_disc, state.disc_opt_state, state.disc_params)
+            d_upd, new_d_opt = disc_tx.update(
+                g_disc, state.disc_opt_state, state.disc_params
+            )
             new_disc = optax.apply_updates(state.disc_params, d_upd)
+            if cfg.disc_steps > 1:
+                # k-1 extra adversary-only Adam steps on the detached batch
+                # embedding, so the head tracks the (moving) encoder closely
+                # enough for the reversed gradient to carry signal
+                emb_sg, t = adv_aux
+
+                def body(i, carry):
+                    dp, dopt = carry
+                    g = jax.grad(_disc_fit_loss)(
+                        dp, emb_sg, t, jax.random.fold_in(rng, 100 + i)
+                    )
+                    du, dopt = disc_tx.update(g, dopt, dp)
+                    return optax.apply_updates(dp, du), dopt
+
+                new_disc, new_d_opt = jax.lax.fori_loop(
+                    1, cfg.disc_steps, body, (new_disc, new_d_opt)
+                )
             new_state = state.replace(
                 params=new_params,
                 disc_params=new_disc,
@@ -242,7 +297,7 @@ def make_train_step(
                 step=state.step + 1,
             )
         else:
-            (loss, (new_bs, metrics)), g_enc = jax.value_and_grad(
+            (loss, (new_bs, metrics, _)), g_enc = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(state.params, None, state.batch_stats, batch, rng, state.step)
             upd, new_opt = tx.update(g_enc, state.opt_state, state.params)

@@ -55,11 +55,15 @@ python -m mst_tpu.cli.train "${COMMON_TRAIN_ARGS[@]}" \
     --checkpoint_dir /tmp/ckpt_adv_baseline \
     --artifact_out "$OUT/encoder_adv_baseline.npz"
 
+# disc_* flags: without them the adversary shares the encoder's
+# warmup-cosine schedule and never trains on a short run (LR < 5e-5 for
+# all 500 steps) — measured zero probe drop; see Stage1Config.
 python -m mst_tpu.cli.train "${COMMON_TRAIN_ARGS[@]}" \
     --use_adversarial --song_id_cache_path "$CORPUS/songid.npz" \
     --adversarial_warmup_steps 60 \
     --initial_adversarial_lambda 1.0 --adversarial_lambda 3.0 \
     --fixed_grl_lambda 1.0 \
+    --disc_detach_train --disc_learning_rate 1e-3 --disc_steps 4 \
     --checkpoint_dir /tmp/ckpt_adv_demo \
     --artifact_out "$OUT/encoder_adv_demo.npz"
 

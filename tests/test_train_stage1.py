@@ -87,6 +87,41 @@ def test_adversarial_train_step(batch, rng):
 
 
 @pytest.mark.slow
+def test_strengthened_adversary_fits(batch, rng):
+    """disc_learning_rate + disc_steps + disc_detach_train make the
+    adversary actually fit the song-ID targets.  Under the shared
+    warmup-cosine schedule the head's LR is ~0 for the whole short run and
+    its cosine fit barely moves (measured on the demo: 0.70 after 500 TPU
+    steps while a ridge probe decodes 0.90) — the GRL then reverses noise.
+    With a constant-LR Adam and inner steps the fit must drop fast."""
+    cfg = Stage1Config(
+        encoder=TINY_CFG.encoder, features=TINY_CFG.features,
+        use_adversarial=True, adversarial_warmup_steps=0,
+        song_id_dim=32, discriminator_hidden_dim=32,
+        discriminator_dropout=0.0,
+        learning_rate=1e-4, warmup_steps=2000,  # the starving schedule
+        disc_detach_train=True, disc_learning_rate=3e-3, disc_steps=4,
+    )
+    state, enc, disc = create_stage1_state(cfg, jax.random.key(0), total_steps=3000)
+    b = dict(batch)
+    # one fixed ID vector per song, shared by its segments -> learnable
+    per_song = rng.standard_normal((4, 32)).astype(np.float32)
+    b["song_id_emb"] = jnp.asarray(per_song[np.asarray(batch["song_labels"])])
+    step_fn = make_train_step(cfg, enc, disc, total_steps=3000)
+    first = last = None
+    for i in range(20):
+        state, metrics = step_fn(state, b, jax.random.key(1))
+        if i == 0:
+            first = float(metrics["disc_fit"])
+        last = float(metrics["disc_fit"])
+    assert np.isfinite(last)
+    assert last < 0.5 * first, (first, last)
+    # measured 0.38 after 20 steps (from ~1.0 at init); the starved shared
+    # schedule leaves it ~unmoved at this budget
+    assert last < 0.45, last
+
+
+@pytest.mark.slow
 def test_train_step_sharded_8_devices(batch):
     """Same step jitted over an 8-device data-parallel mesh (pjit DP)."""
     mesh = make_mesh((8,), ("data",))
