@@ -38,6 +38,10 @@ def get_params(argv=None):
                         "adds style-aware retrieval metrics (nearest "
                         "OTHER-track neighbor shares the style), the "
                         "signal that must survive identity removal")
+    p.add_argument("--projection_npz", type=str, default=None,
+                   help="identity null-space projection from "
+                        "cli/remove_song_identity, applied to both crops "
+                        "before all metrics")
     p.add_argument("--l2", type=float, default=1.0)
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--output", type=str, default=None)
@@ -139,6 +143,12 @@ def main(argv=None):
         emb_a, emb_b = _embed_corpus(args, enc, enc_vars, ecfg, fcfg,
                                      track_dirs)
 
+    if args.projection_npz:
+        from mst_tpu.eval.inlp import apply_projection
+        proj = np.load(args.projection_npz)["projection"]
+        emb_a = apply_projection(emb_a, proj).astype(np.float32)
+        emb_b = apply_projection(emb_b, proj).astype(np.float32)
+
     metrics = song_identity_probe(emb_a, emb_b, song_id, args.l2)
     metrics["style_retrieval_top1"] = _style_top1(emb_a, emb_b)
     if args.styles_json:
@@ -147,6 +157,8 @@ def main(argv=None):
         metrics.update(_style_match_excl_self(emb_a, emb_b, labels))
     metrics["encoder_npz"] = str(args.encoder_npz)
     metrics["song_id_cache"] = str(args.song_id_cache)
+    if args.projection_npz:
+        metrics["projection_npz"] = str(args.projection_npz)
 
     if args.output:
         Path(args.output).write_text(json.dumps(metrics, indent=2))

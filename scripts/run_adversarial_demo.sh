@@ -76,20 +76,39 @@ for tag in baseline demo; do
         --output "$OUT/adversarial_demo/probe_$tag.json"
 done
 
+# Post-hoc closed-form removal on the frozen baseline encoder
+# (eval/inlp.py): 8 rounds x rank 8 lands the held-out probe exactly on
+# the 0.25 style-cluster ceiling (measured), the floor any embedding
+# that still carries style can reach on this corpus.
+python -m mst_tpu.cli.remove_song_identity \
+    --encoder_npz "$OUT/encoder_adv_baseline.npz" \
+    --separated_path "$CORPUS" --song_id_cache "$CORPUS/songid.npz" \
+    --rounds 8 --rank 8 \
+    --output "$OUT/identity_nullspace_baseline.npz"
+python -m mst_tpu.cli.probe_song_identity \
+    --encoder_npz "$OUT/encoder_adv_baseline.npz" \
+    --separated_path "$CORPUS" --song_id_cache "$CORPUS/songid.npz" \
+    --styles_json "$CORPUS/styles.json" \
+    --projection_npz "$OUT/identity_nullspace_baseline.npz" \
+    --output "$OUT/adversarial_demo/probe_baseline_inlp.json"
+
 python - "$OUT" <<'EOF'
 import json, sys
 from pathlib import Path
 out = Path(sys.argv[1]) / "adversarial_demo"
 m = {t: json.loads((out / f"probe_{t}.json").read_text())
-     for t in ("baseline", "demo")}
+     for t in ("baseline", "demo", "baseline_inlp")}
 summary = {
     "corpus": {"n_songs": 64, "n_styles": 16, "sample_rate": 22050,
                "duration": 11.0, "synth_version": 2, "seed": 0,
                "clip_duration": 5.0},
     "baseline": m["baseline"], "adversarial": m["demo"],
+    "inlp": m["baseline_inlp"],
     "probe_id_top1_drop": m["baseline"]["probe_id_top1"] - m["demo"]["probe_id_top1"],
     "probe_cosine_drop": m["baseline"]["probe_cosine"] - m["demo"]["probe_cosine"],
     "style_match_kept": m["demo"]["style_match_top1_excl_self"],
+    "inlp_probe_id_top1_drop": m["baseline"]["probe_id_top1"] - m["baseline_inlp"]["probe_id_top1"],
+    "inlp_style_match_kept": m["baseline_inlp"]["style_match_top1_excl_self"],
 }
 (out / "metrics.json").write_text(json.dumps(summary, indent=2))
 print(json.dumps(summary, indent=2))

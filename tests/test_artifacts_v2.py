@@ -135,6 +135,14 @@ def test_adversarial_demo_evidence():
     # neighbor shares the mixing style, well above chance
     assert (adv["style_match_top1_excl_self"]
             >= 3 * adv["style_match_chance"]), adv
+    # the closed-form null-space projection (eval/inlp.py) on the frozen
+    # baseline encoder reaches the style-cluster ceiling — the floor any
+    # embedding that still carries style can reach on this corpus — with
+    # the style signal still far above chance
+    inlp = m["inlp"]
+    assert inlp["probe_id_top1"] <= inlp["style_cluster_id_ceiling"] + 0.05, inlp
+    assert (inlp["style_match_top1_excl_self"]
+            >= 3 * inlp["style_match_chance"]), inlp
     # the committed adversarial encoder loads and embeds finite vectors
     enc, variables, ecfg, fcfg = _encoder_from_npz(
         ROOT / "artifacts" / "encoder_adv_demo.npz")
