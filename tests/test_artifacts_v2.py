@@ -143,6 +143,13 @@ def test_adversarial_demo_evidence():
     assert inlp["probe_id_top1"] <= inlp["style_cluster_id_ceiling"] + 0.05, inlp
     assert (inlp["style_match_top1_excl_self"]
             >= 3 * inlp["style_match_chance"]), inlp
+    # stacked GRL+INLP is the strongest protocol: at-or-below the ceiling
+    # (GRL first disentangles identity from style, so the projection cuts
+    # cleaner) with style match still an order of magnitude above chance
+    combo = m["grl_plus_inlp"]
+    assert combo["probe_id_top1"] <= combo["style_cluster_id_ceiling"], combo
+    assert (combo["style_match_top1_excl_self"]
+            >= 10 * combo["style_match_chance"]), combo
     # the committed adversarial encoder loads and embeds finite vectors
     enc, variables, ecfg, fcfg = _encoder_from_npz(
         ROOT / "artifacts" / "encoder_adv_demo.npz")
