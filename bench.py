@@ -149,8 +149,11 @@ def _cpu_probe():
         durs.append(time.perf_counter() - t1)
         if len(durs) >= 16:
             break
-    # median per-clip time: robust to transient host contention
-    cps = 1.0 / sorted(durs)[len(durs) // 2]
+    # fastest observed clip: the program is deterministic, so variance is
+    # pure host contention/VM steal — the minimum is the least-biased and
+    # most repeatable estimate (median still swung the headline ratio ~18%
+    # between quiet-machine runs), and it is conservative for vs_baseline
+    cps = 1.0 / min(durs)
     print(f"CPU_CLIPS_PER_SEC {cps:.6f}", flush=True)
 
 
@@ -208,10 +211,13 @@ def _measure_embed_cpu_torch(n_clips: int = 6) -> float:
             tmodel(c.unsqueeze(0), torch.from_numpy(feats).unsqueeze(0))
 
     run(clips[0])  # warmup
-    t0 = time.perf_counter()
+    durs = []
     for clip in clips:
+        t0 = time.perf_counter()
         run(clip)
-    return n_clips / (time.perf_counter() - t0)
+        durs.append(time.perf_counter() - t0)
+    # fastest clip, for the same reason as _cpu_probe
+    return 1.0 / min(durs)
 
 
 def _measure_stage1_train(batch: int = 8, segments: int = 2,
