@@ -60,6 +60,14 @@ def get_params(argv=None):
     p.add_argument("--resume_npz", type=str, default=None,
                    help="warm-start params from a .npz artifact (fresh "
                         "optimizer; use a lower --learning_rate)")
+    p.add_argument("--data_seed", type=int, default=None,
+                   help="seed for the on-device training data stream only "
+                        "(defaults to --seed).  The stream is fold_in(key, "
+                        "step) and a warm start resets step to 0, so a "
+                        "continuation with the same seed would replay the "
+                        "original stream; set a fresh --data_seed while "
+                        "--seed keeps the held-out eval set comparable to "
+                        "the committed best artifact")
     return p.parse_args(argv)
 
 
@@ -197,7 +205,8 @@ def _train_on_device_synth(args):
     # per-corpus-version artifact names: v2 scores are not comparable to v1
     stem = "scnet_synth" if args.synth_version == 1 else "scnet_synth2"
     logger = MetricsLogger(args.log_dir, stem)
-    rng = jax.random.key(args.seed + 1)
+    data_seed = args.seed if args.data_seed is None else args.data_seed
+    rng = jax.random.key(data_seed + 1)
     eval_key = jax.random.key(args.seed + 777_000)  # disjoint from training
     ckpt_dir = Path(args.checkpoint_dir).absolute()
     ckpt_dir.mkdir(parents=True, exist_ok=True)

@@ -11,6 +11,8 @@ mst_tpu.features for parity.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 import jax
@@ -82,12 +84,27 @@ def spectral_centroid_hz(audio: jax.Array, sample_rate: int = 44100,
     return jnp.mean(cent, axis=(-2, -1))
 
 
+@functools.lru_cache(maxsize=8)
+def _report_fn(sample_rate: int):
+    # one jitted program per sample rate: eager per-primitive dispatch is
+    # pathologically slow on the remote-compile axon backend (and eager
+    # scans can be UNIMPLEMENTED there outright)
+    @jax.jit
+    def report(audio):
+        return (integrated_lufs(audio, sample_rate), rms_db(audio),
+                crest_factor_db(audio),
+                spectral_centroid_hz(audio, sample_rate))
+
+    return report
+
+
 def audio_quality_report(audio: jax.Array, sample_rate: int = 44100) -> dict:
     """All QA metrics for (C, T) audio -> python floats
     (ref layout: style_transfer_eval.py:233-275)."""
+    lufs, rms, crest, cent = _report_fn(int(sample_rate))(audio)
     return {
-        "lufs": float(integrated_lufs(audio, sample_rate)),
-        "rms_db": float(rms_db(audio)),
-        "crest_factor_db": float(crest_factor_db(audio)),
-        "spectral_centroid_hz": float(spectral_centroid_hz(audio, sample_rate)),
+        "lufs": float(lufs),
+        "rms_db": float(rms),
+        "crest_factor_db": float(crest),
+        "spectral_centroid_hz": float(cent),
     }

@@ -15,6 +15,8 @@ chain:
 
 from __future__ import annotations
 
+import functools
+
 from typing import Callable
 
 import numpy as np
@@ -67,6 +69,21 @@ def apply_effect_chain(audio: jax.Array, u: jax.Array,
     return x * (1.0 - p["reverb_wet"]) + wet * p["reverb_wet"]
 
 
+@functools.lru_cache(maxsize=8)
+def _jitted_chain(sample_rate: int):
+    """Jitted ``(audio, u) -> processed audio`` — eager per-primitive
+    dispatch of the chain is pathologically slow on the remote-compile
+    axon backend; every non-traced call site must go through this."""
+    return jax.jit(
+        lambda audio, u: apply_effect_chain(audio, u, sample_rate))
+
+
+def render_effect_chain(audio, u, sample_rate: int = 44100) -> np.ndarray:
+    """Host-callable jitted render of :func:`apply_effect_chain`."""
+    return np.asarray(
+        _jitted_chain(int(sample_rate))(jnp.asarray(audio), jnp.asarray(u)))
+
+
 def gradient_search(
     embed_fn: Callable[[jax.Array], jax.Array],
     input_audio: jax.Array,
@@ -92,17 +109,28 @@ def gradient_search(
 
     @jax.jit
     def run(u, opt):
+        # best-by-loss tracking inside the scan — the last iterate can
+        # overshoot; the reference's per-pair optimizer keeps the best
+        # state the same way (ref: test_tcn_style_transfer.py:84-201)
         def step(carry, _):
-            u, opt = carry
+            u, opt, best_u, best_loss = carry
             loss, g = jax.value_and_grad(loss_fn)(u)
+            better = loss < best_loss
+            best_u = jnp.where(better, u, best_u)
+            best_loss = jnp.where(better, loss, best_loss)
             upd, opt = tx.update(g, opt, u)
-            return (optax.apply_updates(u, upd), opt), loss
+            return (optax.apply_updates(u, upd), opt, best_u, best_loss), loss
 
-        (u, _), losses = jax.lax.scan(step, (u, opt), None, length=num_steps)
-        return u, losses
+        init = (u, opt, u, jnp.inf)
+        (u, _, best_u, best_loss), losses = jax.lax.scan(
+            step, init, None, length=num_steps)
+        # best over the evaluated iterates u_0..u_{n-1}; the post-update
+        # u_n is never scored (scoring it would duplicate the whole
+        # forward in the compiled program for one extra sample)
+        return best_u, losses
 
     u, losses = run(u, opt)
-    out = apply_effect_chain(input_audio, u, sample_rate)
+    out = _jitted_chain(int(sample_rate))(input_audio, u)
     return out, _unit_to_params(u), np.asarray(losses)
 
 

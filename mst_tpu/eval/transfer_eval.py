@@ -18,9 +18,9 @@ import jax.numpy as jnp
 
 from mst_tpu.eval.audio_quality import audio_quality_report
 from mst_tpu.eval.effects_search import (
-    apply_effect_chain,
     cma_es_search,
     gradient_search,
+    render_effect_chain,
     _unit_to_params,
 )
 
@@ -67,14 +67,14 @@ class StyleTransferEvaluator:
             best_params = {k: float(v) for k, v in params.items()}
         else:  # CMA-ES, the reference's protocol
             def objective(u: np.ndarray) -> float:
-                y = apply_effect_chain(inp, jnp.asarray(u), self.sr)
-                return self._distance(self.embed_fn(y), target_emb)
+                y = render_effect_chain(inp, u, self.sr)
+                return self._distance(self.embed_fn(jnp.asarray(y)), target_emb)
 
             best_u, best_f, losses = cma_es_search(
                 objective, num_generations=self.cma_generations,
                 popsize=self.cma_popsize,
             )
-            out = np.asarray(apply_effect_chain(inp, jnp.asarray(best_u), self.sr))
+            out = render_effect_chain(inp, best_u, self.sr)
             best_params = {
                 k: float(v) for k, v in _unit_to_params(jnp.asarray(best_u)).items()
             }

@@ -294,3 +294,79 @@ def test_style_resolution_cli_fx_model(tmp_path):
     ])
     assert res["model"] == "fx"
     assert 0.0 <= res["curve"][0]["top1"] <= 1.0
+
+
+def test_effects_transfer_cli_self_target(tmp_path):
+    """Effect-chain transfer CLI (ST-ITO role, ref:
+    style_transfer_eval.py:139-231): self-target mode renders the target by
+    applying a hidden random chain to the input, runs the TPU-native
+    gradient search, and writes the metrics bundle."""
+    from mst_tpu.cli.effects_transfer import main
+    from mst_tpu.cli.train_fx_encoder import main as fx_main
+    from mst_tpu.data.audio_io import write_wav
+
+    ckpt = tmp_path / "fx"
+    fx_main([
+        "--sample_rate", "8000", "--clip_duration", "0.25",
+        "--n_fft", "256", "--hop_length", "64", "--n_mels", "32",
+        "--embed_dim", "16", "--styles_per_batch", "2",
+        "--max_steps", "2", "--eval_interval", "2", "--eval_styles", "2",
+        "--log_interval", "1", "--checkpoint_dir", str(ckpt),
+        "--log_dir", str(tmp_path / "logs"),
+    ])
+    rng = np.random.default_rng(0)
+    wav = tmp_path / "in.wav"
+    write_wav(wav, (rng.standard_normal((2, 8000)) * 0.1).astype(np.float32),
+              8000)
+
+    out = tmp_path / "fxout"
+    m = main([
+        "--input", str(wav), "--self_target_seed", "3",
+        "--fx_npz", str(ckpt / "fx_encoder_synth_best.npz"),
+        "--num_steps", "12", "--max_seconds", "1.0",
+        "--output_dir", str(out),
+    ])
+    assert (out / "output.wav").exists() and (out / "target.wav").exists()
+    meta = json.loads((out / "metrics.json").read_text())
+    assert meta.keys() == m.keys()
+    for k in ("initial_distance", "final_distance", "improvement",
+              "effect_params", "true_effect_params",
+              "input_quality", "output_quality", "target_quality"):
+        assert k in meta, k
+    # cosine distances of L2-normalized embeddings live in [0, 2]; a
+    # random-init tiny encoder needn't improve in 12 steps, but the
+    # pipeline must stay finite and in range
+    assert 0.0 <= meta["final_distance"] <= 2.0
+    assert 0.0 <= meta["initial_distance"] <= 2.0
+    assert set(meta["effect_params"]) == set(meta["true_effect_params"])
+
+
+def test_effects_transfer_cli_cma(tmp_path):
+    """--method cma covers the reference's CMA-ES protocol end to end."""
+    from mst_tpu.cli.effects_transfer import main
+    from mst_tpu.cli.train_fx_encoder import main as fx_main
+    from mst_tpu.data.audio_io import write_wav
+
+    ckpt = tmp_path / "fx"
+    fx_main([
+        "--sample_rate", "8000", "--clip_duration", "0.25",
+        "--n_fft", "256", "--hop_length", "64", "--n_mels", "32",
+        "--embed_dim", "16", "--styles_per_batch", "2",
+        "--max_steps", "2", "--eval_interval", "2", "--eval_styles", "2",
+        "--log_interval", "1", "--checkpoint_dir", str(ckpt),
+        "--log_dir", str(tmp_path / "logs"),
+    ])
+    rng = np.random.default_rng(1)
+    wav = tmp_path / "in.wav"
+    write_wav(wav, (rng.standard_normal((2, 8000)) * 0.1).astype(np.float32),
+              8000)
+    m = main([
+        "--input", str(wav), "--self_target_seed", "5",
+        "--fx_npz", str(ckpt / "fx_encoder_synth_best.npz"),
+        "--method", "cma", "--cma_generations", "2", "--cma_popsize", "4",
+        "--max_seconds", "1.0", "--no_save_audio",
+        "--output_dir", str(tmp_path / "cmaout"),
+    ])
+    assert m["method"] == "cma"
+    assert 0.0 <= m["final_distance"] <= 2.0
+    assert not (tmp_path / "cmaout" / "output.wav").exists()  # --no_save_audio

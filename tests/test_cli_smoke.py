@@ -25,6 +25,7 @@ CLIS = [
     "mst_tpu.cli.make_synth_corpus",
     "mst_tpu.cli.probe_song_identity",
     "mst_tpu.cli.remove_song_identity",
+    "mst_tpu.cli.effects_transfer",
 ]
 
 
