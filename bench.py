@@ -46,7 +46,8 @@ def _scnet_cfg():
         mc = json.loads(meta.read_text())["config"]
         return SCNetConfig(n_fft=mc["n_fft"], hop_length=mc["hop_length"],
                            dims=tuple(mc["dims"]),
-                           num_dplayers=mc["num_dplayers"])
+                           num_dplayers=mc["num_dplayers"],
+                           rnn_impl=mc.get("rnn_impl", "flax"))
     return SCNetConfig(n_fft=2048, hop_length=512)
 
 
