@@ -49,6 +49,25 @@ class StyleTransferEvaluator:
             1.0 - np.dot(a, b) / ((np.linalg.norm(a) * np.linalg.norm(b)) + 1e-12)
         )
 
+    def evaluate_transfer_quality(self, target_audio, output_audio) -> dict:
+        """Feature-space transfer quality beyond embedding distance: |target
+        - output| for LUFS/RMS/crest/centroid plus target-normalized
+        centroid (ref: style_transfer_eval.py:277-318)."""
+        t = audio_quality_report(jnp.asarray(target_audio), self.sr)
+        o = audio_quality_report(jnp.asarray(output_audio), self.sr)
+        return {
+            "loudness_diff_lufs": abs(t["lufs"] - o["lufs"]),
+            "rms_db_diff": abs(t["rms_db"] - o["rms_db"]),
+            "crest_factor_diff": abs(t["crest_factor_db"] - o["crest_factor_db"]),
+            "spectral_centroid_diff": abs(t["spectral_centroid_hz"]
+                                          - o["spectral_centroid_hz"]),
+            "spectral_centroid_diff_norm": (
+                abs(t["spectral_centroid_hz"] - o["spectral_centroid_hz"])
+                / (abs(t["spectral_centroid_hz"]) + 1e-8)),
+            "target_features": t,
+            "output_features": o,
+        }
+
     def run_style_transfer(self, input_audio: np.ndarray,
                            target_audio: np.ndarray) -> tuple[np.ndarray, dict]:
         """(C, T) input/target -> (output audio, metrics incl. initial/final
@@ -88,5 +107,6 @@ class StyleTransferEvaluator:
             "input_quality": audio_quality_report(inp, self.sr),
             "output_quality": audio_quality_report(jnp.asarray(out), self.sr),
             "target_quality": audio_quality_report(tgt, self.sr),
+            "transfer_quality": self.evaluate_transfer_quality(tgt, out),
         }
         return out, metrics

@@ -32,3 +32,25 @@ def test_run_style_transfer(method, rng):
         "gain_db", "highpass_hz", "lowpass_hz",
         "comp_threshold_db", "comp_ratio", "reverb_wet",
     }
+
+
+def test_evaluate_transfer_quality_fields(rng):
+    """Feature-diff quality metrics (ref: style_transfer_eval.py:277-318):
+    identical audio -> zero diffs; louder output -> positive RMS/LUFS
+    diffs; all fields present and finite."""
+    ev = StyleTransferEvaluator(_toy_embed, sample_rate=44100)
+    tgt = rng.standard_normal((2, 8192)).astype(np.float32) * 0.2
+
+    same = ev.evaluate_transfer_quality(tgt, tgt)
+    for k in ("loudness_diff_lufs", "rms_db_diff", "crest_factor_diff",
+              "spectral_centroid_diff", "spectral_centroid_diff_norm"):
+        assert same[k] == pytest.approx(0.0, abs=1e-5), k
+    assert same["target_features"] == same["output_features"]
+
+    louder = ev.evaluate_transfer_quality(tgt, 4.0 * tgt)
+    assert louder["rms_db_diff"] == pytest.approx(20 * np.log10(4.0), abs=0.1)
+    assert louder["loudness_diff_lufs"] == pytest.approx(
+        20 * np.log10(4.0), abs=0.1)
+    # pure gain leaves crest factor and centroid unchanged
+    assert louder["crest_factor_diff"] < 0.1
+    assert louder["spectral_centroid_diff_norm"] < 0.01
