@@ -24,19 +24,63 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from mst_tpu.ops.biquad import butter_sos, sosfilt_fir
+from mst_tpu.ops.biquad import butter_sos, sosfilt_fir, sosfilt_scan
 from mst_tpu.ops.fftconv import fft_convolve_1d
 
-# (name, low, high) — mirrors the reference's search space
+# (name, low, high) — mirrors the reference's 'standard' chain search space
+# (style_transfer_eval.py:81-118: Compressor threshold/ratio/attack/release,
+# Highpass, Lowpass, Reverb wet/damping, Limiter threshold/release), plus an
+# explicit output gain.
 PARAM_SPACE = (
     ("gain_db", -12.0, 12.0),
-    ("highpass_hz", 20.0, 500.0),
-    ("lowpass_hz", 2000.0, 20000.0),
-    ("comp_threshold_db", -40.0, 0.0),
-    ("comp_ratio", 1.0, 8.0),
-    ("reverb_wet", 0.0, 0.5),
+    ("comp_threshold_db", -40.0, -5.0),
+    ("comp_ratio", 1.5, 10.0),
+    ("comp_attack_ms", 1.0, 50.0),
+    ("comp_release_ms", 50.0, 500.0),
+    ("highpass_hz", 20.0, 200.0),
+    ("lowpass_hz", 8000.0, 20000.0),
+    ("reverb_wet", 0.0, 0.3),
+    ("reverb_damping", 0.2, 0.8),
+    ("limiter_threshold_db", -10.0, -0.5),
+    ("limiter_release_ms", 50.0, 200.0),
 )
 N_PARAMS = len(PARAM_SPACE)
+
+_ENV_FRAME = 512  # dynamics envelope resolution: 11.6 ms @ 44.1 kHz
+
+
+def _frame_peak_db(x: jax.Array, frame: int) -> jax.Array:
+    """Stereo-linked per-frame peak level in dB of (C, T) audio -> (F,)."""
+    T = x.shape[-1]
+    pad = (-T) % frame
+    xa = jnp.pad(jnp.abs(x), ((0, 0), (0, pad)))
+    p = xa.reshape(x.shape[0], -1, frame).max(axis=(0, 2))
+    return 20.0 * jnp.log10(p + 1e-6)
+
+
+def _smooth_env_db(p_db: jax.Array, attack_ms, release_ms,
+                   frame: int, sample_rate: int) -> jax.Array:
+    """Attack/release one-pole envelope at frame rate.  The rising/falling
+    branch select is a sigmoid in dB so the whole recurrence stays
+    differentiable in both time constants."""
+    dt_ms = 1e3 * frame / sample_rate
+    c_att = jnp.exp(-dt_ms / jnp.maximum(attack_ms, 1e-2))
+    c_rel = jnp.exp(-dt_ms / jnp.maximum(release_ms, 1e-2))
+
+    def step(e, p):
+        s = jax.nn.sigmoid(p - e)  # ->1 when rising: attack coefficient
+        c = s * c_att + (1.0 - s) * c_rel
+        e = c * e + (1.0 - c) * p
+        return e, e
+
+    _, env = jax.lax.scan(step, p_db[0], p_db)
+    return env
+
+
+def _apply_gain_db(x: jax.Array, gain_db_frames: jax.Array) -> jax.Array:
+    """Upsample per-frame gain (F,) to samples and apply to (C, T)."""
+    g = jnp.repeat(10.0 ** (gain_db_frames / 20.0), _ENV_FRAME)[: x.shape[-1]]
+    return x * g
 
 
 def _unit_to_params(u: jax.Array) -> dict:
@@ -49,24 +93,44 @@ def _unit_to_params(u: jax.Array) -> dict:
 
 def apply_effect_chain(audio: jax.Array, u: jax.Array,
                        sample_rate: int = 44100, rng=None) -> jax.Array:
-    """(C, T) audio, u in [0,1]^6 -> processed audio.  Differentiable."""
+    """(C, T) audio, u in [0,1]^N_PARAMS -> processed audio.  Differentiable
+    in every parameter, in the reference's 'standard' chain order
+    (style_transfer_eval.py:81-118): gain -> compressor (attack/release
+    envelope) -> highpass -> lowpass -> reverb (damped exp-decay IR) ->
+    limiter (instant attack, own release)."""
     p = _unit_to_params(u)
     x = audio * 10.0 ** (p["gain_db"] / 20.0)
+
+    # compressor: frame-peak envelope smoothed with attack/release, static
+    # dB curve above threshold
+    env = _smooth_env_db(_frame_peak_db(x, _ENV_FRAME),
+                         p["comp_attack_ms"], p["comp_release_ms"],
+                         _ENV_FRAME, sample_rate)
+    over = jnp.maximum(env - p["comp_threshold_db"], 0.0)
+    x = _apply_gain_db(x, -over * (1.0 - 1.0 / p["comp_ratio"]))
+
     x = sosfilt_fir(butter_sos(2, p["highpass_hz"], "high", sample_rate), x, 2048)
     x = sosfilt_fir(butter_sos(4, p["lowpass_hz"], "low", sample_rate), x, 2048)
-    # soft-knee-ish compressor in dB domain
-    db = 20.0 * jnp.log10(jnp.abs(x) + 1e-8)
-    over = jnp.maximum(db - p["comp_threshold_db"], 0.0)
-    gain_db = -over * (1.0 - 1.0 / p["comp_ratio"])
-    x = x * 10.0 ** (gain_db / 20.0)
-    # fixed exp-decay reverb, wet controlled
+
+    # damped exp-decay reverb: one-pole lowpass (coefficient = damping) over
+    # the noise IR models pedalboard.Reverb's HF absorption
     T = x.shape[-1]
     rl = sample_rate // 4
     t = jnp.linspace(0.0, 0.25, rl)
     key = rng if rng is not None else jax.random.key(0)
     ir = jnp.exp(-t / 0.08) * jax.random.normal(key, (rl,)) * 0.05
+    d = p["reverb_damping"]
+    z = jnp.zeros(())
+    damp_sos = jnp.stack([1.0 - d, z, z, jnp.ones(()), -d, z])[None]
+    ir = sosfilt_scan(damp_sos, ir)
     wet = fft_convolve_1d(x, ir, mode="same_corr")[..., :T]
-    return x * (1.0 - p["reverb_wet"]) + wet * p["reverb_wet"]
+    x = x * (1.0 - p["reverb_wet"]) + wet * p["reverb_wet"]
+
+    # limiter: same dynamics machinery, near-instant attack, full ratio
+    env = _smooth_env_db(_frame_peak_db(x, _ENV_FRAME),
+                         0.1, p["limiter_release_ms"], _ENV_FRAME, sample_rate)
+    return _apply_gain_db(
+        x, jnp.minimum(p["limiter_threshold_db"] - env, 0.0))
 
 
 @functools.lru_cache(maxsize=8)

@@ -28,10 +28,9 @@ def test_run_style_transfer(method, rng):
     assert np.isfinite(out).all()
     assert metrics["final_distance"] <= metrics["initial_distance"] + 1e-6
     assert "lufs" in metrics["output_quality"]
-    assert set(metrics["effect_params"]) == {
-        "gain_db", "highpass_hz", "lowpass_hz",
-        "comp_threshold_db", "comp_ratio", "reverb_wet",
-    }
+    from mst_tpu.eval.effects_search import PARAM_SPACE
+
+    assert set(metrics["effect_params"]) == {n for n, _, _ in PARAM_SPACE}
 
 
 def test_evaluate_transfer_quality_fields(rng):
