@@ -43,11 +43,7 @@ def _scnet_cfg():
     # the trained-artifact config (artifacts/scnet_synth_best.json)
     meta = Path(__file__).resolve().parent / "artifacts" / "scnet_synth_best.json"
     if meta.exists():
-        mc = json.loads(meta.read_text())["config"]
-        return SCNetConfig(n_fft=mc["n_fft"], hop_length=mc["hop_length"],
-                           dims=tuple(mc["dims"]),
-                           num_dplayers=mc["num_dplayers"],
-                           rnn_impl=mc.get("rnn_impl", "flax"))
+        return SCNetConfig.from_meta(json.loads(meta.read_text())["config"])
     return SCNetConfig(n_fft=2048, hop_length=512)
 
 

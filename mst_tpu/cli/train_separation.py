@@ -45,6 +45,13 @@ def get_params(argv=None):
     p.add_argument("--hop_length", type=int, default=1024)
     p.add_argument("--dims", type=int, nargs="+", default=[4, 32, 64, 128])
     p.add_argument("--num_dplayers", type=int, default=6)
+    p.add_argument("--rnn_hidden", type=int, default=128,
+                   help="dual-path RNN hidden size (scale with dims[-1])")
+    p.add_argument("--loss_balance", action="store_true",
+                   help="per-source scale-normalized loss "
+                        "(separation_loss_balanced): every stem gets an "
+                        "equal gradient vote regardless of its mix level — "
+                        "the fix for the pass-through 'other' stem")
     p.add_argument("--rnn_impl", choices=("flax", "fused", "lru"),
                    default="flax",
                    help="dual-path core: 'flax'/'fused' BiLSTM (same "
@@ -109,7 +116,7 @@ def main(argv=None):
     cfg = SCNetConfig(
         n_fft=args.n_fft, hop_length=args.hop_length,
         dims=tuple(args.dims), num_dplayers=args.num_dplayers,
-        rnn_impl=args.rnn_impl,
+        rnn_hidden=args.rnn_hidden, rnn_impl=args.rnn_impl,
     )
     chunk = int(args.chunk_seconds * args.sample_rate)
 
@@ -180,7 +187,7 @@ def _train_on_device_synth(args):
     cfg = SCNetConfig(
         n_fft=args.n_fft, hop_length=args.hop_length,
         dims=tuple(args.dims), num_dplayers=args.num_dplayers,
-        rnn_impl=args.rnn_impl,
+        rnn_hidden=args.rnn_hidden, rnn_impl=args.rnn_impl,
     )
     chunk = int(args.chunk_seconds * args.sample_rate)
     total_steps = args.max_steps or 30000
@@ -197,7 +204,8 @@ def _train_on_device_synth(args):
     step_fn = make_synth_train_step(model, tx, args.batch_size, chunk,
                                     float(args.sample_rate),
                                     augment=not args.no_augment,
-                                    synth_version=args.synth_version)
+                                    synth_version=args.synth_version,
+                                    balanced_loss=args.loss_balance)
     eval_fn = make_synth_eval_fn(model, args.eval_songs, chunk,
                                  float(args.sample_rate),
                                  synth_version=args.synth_version)
@@ -231,20 +239,27 @@ def _train_on_device_synth(args):
             sdr = float(r["si_sdr"])
             per = [round(float(x), 2) for x in r["si_sdr_per_stem"]]
             base = float(r["input_si_sdr"])
+            base_per = [round(float(x), 2)
+                        for x in r["input_si_sdr_per_stem"]]
             logger.log(step, val_si_sdr=sdr, input_si_sdr=base)
             print(f"step {step}: held-out SI-SDR {sdr:.2f} dB "
-                  f"(per-stem {per}, mixture baseline {base:.2f})", flush=True)
+                  f"(per-stem {per}, mixture baseline {base:.2f} "
+                  f"per-stem {base_per})", flush=True)
             if sdr > best_sdr:
                 best_sdr = sdr
                 save_params_npz(ckpt_dir / f"{stem}_best.npz", state.params)
                 (ckpt_dir / f"{stem}_best.json").write_text(json.dumps({
                     "step": step, "si_sdr": sdr, "si_sdr_per_stem": per,
-                    "input_si_sdr": base, "chunk_seconds": args.chunk_seconds,
+                    "input_si_sdr": base,
+                    "input_si_sdr_per_stem": base_per,
+                    "chunk_seconds": args.chunk_seconds,
                     "sample_rate": args.sample_rate,
                     "synth_version": args.synth_version,
+                    "loss_balance": args.loss_balance,
                     "config": {"n_fft": cfg.n_fft, "hop_length": cfg.hop_length,
                                "dims": list(cfg.dims),
                                "num_dplayers": cfg.num_dplayers,
+                               "rnn_hidden": cfg.rnn_hidden,
                                "rnn_impl": cfg.rnn_impl},
                 }, indent=2))
         if step % args.save_interval == 0:

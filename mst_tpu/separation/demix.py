@@ -105,14 +105,7 @@ class SCNetSeparator:
                 import json
 
                 meta = json.loads(meta_path.read_text())
-                mc = meta.get("config", {})
-                cfg = SCNetConfig(
-                    n_fft=mc.get("n_fft", 4096),
-                    hop_length=mc.get("hop_length", 1024),
-                    dims=tuple(mc.get("dims", (4, 32, 64, 128))),
-                    num_dplayers=mc.get("num_dplayers", 6),
-                    rnn_impl=mc.get("rnn_impl", "flax"),
-                )
+                cfg = SCNetConfig.from_meta(meta.get("config", {}))
                 chunk_seconds = meta.get("chunk_seconds", chunk_seconds)
         cfg = cfg or SCNetConfig()
         model = SCNet(cfg)

@@ -68,6 +68,21 @@ class SCNetConfig:
     # parameter tree, needs its own training), not a drop-in kernel swap.
     rnn_impl: str = "flax"
 
+    @classmethod
+    def from_meta(cls, mc: dict) -> "SCNetConfig":
+        """Build a config from an artifact-metadata 'config' dict (the JSON
+        written next to each trained .npz by cli/train_separation.py).  One
+        place owns the defaults so every consumer (demix, bench, tests)
+        honors newly added knobs like rnn_hidden."""
+        return cls(
+            n_fft=mc.get("n_fft", 4096),
+            hop_length=mc.get("hop_length", 1024),
+            dims=tuple(mc.get("dims", (4, 32, 64, 128))),
+            num_dplayers=mc.get("num_dplayers", 6),
+            rnn_hidden=mc.get("rnn_hidden", 128),
+            rnn_impl=mc.get("rnn_impl", "flax"),
+        )
+
     @property
     def n_freqs(self) -> int:
         return self.n_fft // 2  # drop the Nyquist bin for clean band splits

@@ -57,6 +57,28 @@ def separation_loss(pred: jax.Array, target: jax.Array) -> jax.Array:
     return l1 + 0.5 * spec
 
 
+def separation_loss_balanced(pred: jax.Array, target: jax.Array,
+                             eps: float = 1e-3) -> jax.Array:
+    """Per-source scale-normalized L1 + per-item MR-STFT (round-4 fix).
+
+    The plain mean-L1 loss lets loud stems dominate the gradient: on mixes
+    with a quiet 'other' stem the signal for that stem vanishes and the
+    model learns to pass it through (round-3 verdict: per-stem SI-SDR
+    [0.26, 3.88, 3.53, -3.48] — 'other' effectively unseparated).  Here
+    each (batch, source) L1 term is normalized by that target's own mean
+    magnitude, and the MR-STFT spectral-convergence ratio is computed per
+    item, so every stem gets an equal vote regardless of its mix level.
+    """
+    l1 = jnp.mean(jnp.abs(pred - target), axis=(-2, -1))    # (B, S)
+    scale = jnp.mean(jnp.abs(target), axis=(-2, -1)) + eps  # (B, S)
+    l1 = jnp.mean(l1 / scale)
+    spec = multi_resolution_stft_loss(
+        pred.reshape(-1, pred.shape[-1]), target.reshape(-1, target.shape[-1]),
+        per_item=True,
+    )
+    return 0.5 * l1 + 0.5 * spec
+
+
 def shuffle_stems_augment(rng: jax.Array, stems: jax.Array) -> jax.Array:
     """Remix augmentation: per-stem random gain + channel swap
     (B, S, 2, T) -> same.  The classic MSS trick of recombining stems
@@ -113,17 +135,20 @@ def _synth_batch_fn(synth_version: int):
 
 def make_synth_train_step(model: SCNet, tx, batch_size: int,
                           chunk_samples: int, sample_rate: float,
-                          augment: bool = True, synth_version: int = 1):
+                          augment: bool = True, synth_version: int = 1,
+                          balanced_loss: bool = False):
     """Train step with data synthesized *inside* the jit (separation/synth.py
     or the harder synth_v2.py — ``synth_version``): the generator + forward +
     backward compile to one program, so the host (1 CPU core here) never
-    touches training data."""
+    touches training data.  ``balanced_loss`` switches to the per-source
+    scale-normalized objective (separation_loss_balanced)."""
     synth_batch = _synth_batch_fn(synth_version)
+    loss_impl = separation_loss_balanced if balanced_loss else separation_loss
 
     def loss_fn(params, stems):
         mixture = jnp.sum(stems, axis=1)
         pred = model.apply({"params": params}, mixture)
-        loss = separation_loss(pred, stems)
+        loss = loss_impl(pred, stems)
         return loss, {"loss": loss}
 
     def train_step(state: SeparationState, rng):
@@ -165,6 +190,7 @@ def make_synth_eval_fn(model: SCNet, batch_size: int, chunk_samples: int,
             "si_sdr": jnp.mean(per),
             "si_sdr_per_stem": jnp.mean(per, axis=(0, 2)),
             "input_si_sdr": jnp.mean(base),
+            "input_si_sdr_per_stem": jnp.mean(base, axis=(0, 2)),
         }
 
     return jax.jit(eval_fn)

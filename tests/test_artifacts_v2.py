@@ -37,11 +37,7 @@ def test_scnet_v2_artifact_regression(stem):
 
     npz, meta = _load_meta(stem)
     assert meta["synth_version"] == 2
-    c = meta["config"]
-    model = SCNet(SCNetConfig(n_fft=c["n_fft"], hop_length=c["hop_length"],
-                              dims=tuple(c["dims"]),
-                              num_dplayers=c["num_dplayers"],
-                              rnn_impl=c.get("rnn_impl", "flax")))
+    model = SCNet(SCNetConfig.from_meta(meta["config"]))
     params = load_params_npz(npz)
     chunk = int(meta["chunk_seconds"] * meta["sample_rate"])
     eval_fn = make_synth_eval_fn(model, 8, chunk, float(meta["sample_rate"]),

@@ -112,6 +112,33 @@ def test_mrstft_zero_for_identical(rng):
     assert float(multi_resolution_stft_loss(jnp.asarray(x), jnp.asarray(x))) < 1e-6
 
 
+def test_balanced_separation_loss_equalizes_quiet_stems(rng):
+    """The round-4 per-source loss: a 100x-quieter stem gets a comparable
+    (not 100x smaller) gradient, unlike the plain mean-L1 objective that let
+    the v2 model pass the 'other' stem through (round-3 verdict weak #1)."""
+    from mst_tpu.separation.train import (
+        separation_loss,
+        separation_loss_balanced,
+    )
+
+    pred = jnp.asarray(rng.standard_normal((2, 4, 2, 4096)).astype(np.float32) * 0.1)
+    tgt = jnp.asarray(rng.standard_normal((2, 4, 2, 4096)).astype(np.float32) * 0.1)
+    tgt = tgt.at[:, 3].mul(0.01)  # near-silent 'other' stem
+
+    g_bal = jax.grad(lambda p: separation_loss_balanced(p, tgt))(pred)
+    g_pln = jax.grad(lambda p: separation_loss(p, tgt))(pred)
+    mag_bal = jnp.mean(jnp.abs(g_bal), axis=(0, 2, 3))  # (4,)
+    mag_pln = jnp.mean(jnp.abs(g_pln), axis=(0, 2, 3))
+
+    # plain loss: quiet stem's gradient is comparable to the loud stems'
+    # (log-mag term keeps it nonzero) — balanced loss AMPLIFIES it well above
+    assert float(mag_bal[3]) > 3.0 * float(jnp.max(mag_bal[:3]))
+    assert float(mag_pln[3]) < 2.0 * float(jnp.max(mag_pln[:3]))
+    # identical prediction still scores ~zero
+    z = separation_loss_balanced(tgt, tgt)
+    assert float(z) < 1e-3
+
+
 def test_feature_group_slices_cover_all_64():
     groups = feature_group_slices()
     allidx = sorted(i for idx in groups.values() for i in idx)
