@@ -6,9 +6,10 @@ style_transfer_eval.py:67-137) minimizing AFx-Rep embedding distance.
 Equivalent here, with our embedding model and a parametric on-device effect
 chain:
 
-- the chain (gain, low/high shelf tilt, compressor threshold/ratio,
-  low-pass cutoff, reverb wet) is pure jnp and differentiable, so the
-  TPU-native optimizer is plain **gradient descent through the chain**;
+- the chain (output gain, compressor threshold/ratio/attack/release,
+  high-pass/low-pass cutoffs, damped reverb, limiter — PARAM_SPACE below)
+  is pure jnp and differentiable, so the TPU-native optimizer is plain
+  **gradient descent through the chain**;
 - a dependency-free **CMA-ES** is provided for gradient-free parity with
   the reference protocol.
 """
