@@ -67,7 +67,12 @@ class SCNetSeparator:
     STEM order (vocals, bass, drums, other)."""
 
     def __init__(self, model: SCNet, variables: dict, sample_rate: int = 44100,
-                 chunk_seconds: float = 10.0, overlap: float = 0.25):
+                 chunk_seconds: float = 10.0, overlap: float = 0.25,
+                 compute_dtype: str | None = None):
+        if compute_dtype and compute_dtype != model.cfg.compute_dtype:
+            from dataclasses import replace
+
+            model = SCNet(replace(model.cfg, compute_dtype=compute_dtype))
         self.model = model
         self.variables = variables
         self.sr = sample_rate
@@ -78,7 +83,8 @@ class SCNetSeparator:
     @classmethod
     def from_checkpoint(cls, checkpoint_dir: str | None, sample_rate: int = 44100,
                         cfg: SCNetConfig | None = None,
-                        chunk_seconds: float = 10.0) -> "SCNetSeparator":
+                        chunk_seconds: float = 10.0,
+                        compute_dtype: str | None = None) -> "SCNetSeparator":
         """``checkpoint_dir``: an orbax directory, a ``.npz`` params file
         (checkpoints/npz_io.py — the shipped trained artifact format), or
         None for untrained weights.  For a ``.npz`` with a sibling ``.json``
@@ -125,7 +131,8 @@ class SCNetSeparator:
                 print(f"loaded SCNet weights from {checkpoint_dir}")
             else:
                 print("WARNING: SCNet running with untrained weights")
-        return cls(model, variables, sample_rate, chunk_seconds=chunk_seconds)
+        return cls(model, variables, sample_rate, chunk_seconds=chunk_seconds,
+                   compute_dtype=compute_dtype)
 
     def separate(self, mixture: np.ndarray) -> np.ndarray:
         return demix_track(

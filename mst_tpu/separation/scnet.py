@@ -67,14 +67,29 @@ class SCNetConfig:
     # (O(log L) depth, no sequential scan) — a DIFFERENT model (new
     # parameter tree, needs its own training), not a drop-in kernel swap.
     rnn_impl: str = "flax"
+    # Inference-time compute dtype for the spectrogram-domain core.  The
+    # full pipeline sits on the HBM roofline (92% of the v5e's 819 GB/s at
+    # the round-3 headline — docs/PERF.md), and SCNet's dual-path
+    # activations are ~96% of the traffic, so running the core in bfloat16
+    # halves the dominant byte stream.  Plumbed as the flax compute
+    # ``dtype`` of every core module (params stay float32 in HBM — they are
+    # ~60 MB vs ~18 GB/clip of activations — and are cast per-op), so
+    # checkpoints need no conversion.  STFT/iSTFT and the complex mask
+    # multiply stay float32 (jax has no bf16 complex), and the LRU core
+    # ignores it (its associative-scan products compound multiplicative
+    # error; see _LRU).  Training uses float32 — this knob is for the
+    # serving/bench path (demix, pipeline).
+    compute_dtype: str = "float32"
 
     @classmethod
-    def from_meta(cls, mc: dict) -> "SCNetConfig":
+    def from_meta(cls, mc: dict, **overrides) -> "SCNetConfig":
         """Build a config from an artifact-metadata 'config' dict (the JSON
         written next to each trained .npz by cli/train_separation.py).  One
         place owns the defaults so every consumer (demix, bench, tests)
-        honors newly added knobs like rnn_hidden."""
-        return cls(
+        honors newly added knobs like rnn_hidden.  ``overrides`` layers
+        inference-time choices (e.g. ``compute_dtype="bfloat16"``) on top —
+        those are serving knobs, not artifact properties."""
+        kw = dict(
             n_fft=mc.get("n_fft", 4096),
             hop_length=mc.get("hop_length", 1024),
             dims=tuple(mc.get("dims", (4, 32, 64, 128))),
@@ -82,6 +97,12 @@ class SCNetConfig:
             rnn_hidden=mc.get("rnn_hidden", 128),
             rnn_impl=mc.get("rnn_impl", "flax"),
         )
+        kw.update(overrides)
+        return cls(**kw)
+
+    @property
+    def core_dtype(self):
+        return jnp.dtype(self.compute_dtype)
 
     @property
     def n_freqs(self) -> int:
@@ -103,18 +124,20 @@ class ConvolutionModule(nn.Module):
 
     channels: int
     kernel: int = 3
+    dtype: jnp.dtype | None = None  # flax compute dtype (bf16 serving core)
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        h = nn.LayerNorm()(x)
-        h = nn.Dense(2 * self.channels)(h)
+        h = nn.LayerNorm(dtype=self.dtype)(x)
+        h = nn.Dense(2 * self.channels, dtype=self.dtype)(h)
         h = nn.glu(h, axis=-1)
         h = nn.Conv(
             self.channels, (self.kernel, 1),
             feature_group_count=self.channels, padding="SAME",
+            dtype=self.dtype,
         )(h)
         h = nn.gelu(h)
-        h = nn.Dense(self.channels)(h)
+        h = nn.Dense(self.channels, dtype=self.dtype)(h)
         return x + h
 
 
@@ -138,7 +161,8 @@ class SDLayer(nn.Module):
             start += w
             for d in range(c.conv_depths[b]):
                 band = ConvolutionModule(
-                    band.shape[-1], kernel=3, name=f"band{b}_conv{d}"
+                    band.shape[-1], kernel=3, dtype=c.core_dtype,
+                    name=f"band{b}_conv{d}"
                 )(band)
             skips.append(band)
             stride = c.band_strides[b]
@@ -146,7 +170,7 @@ class SDLayer(nn.Module):
             down = nn.Conv(
                 self.out_dim, (kernel, 1), strides=(stride, 1),
                 padding=((self._pad(w, kernel, stride)), (0, 0)),
-                name=f"band{b}_down",
+                dtype=c.core_dtype, name=f"band{b}_down",
             )(band)
             down = nn.gelu(down)
             outs.append(down)
@@ -182,7 +206,7 @@ class SULayer(nn.Module):
             kernel = c.band_kernels[b]
             up = nn.ConvTranspose(
                 self.out_dim, (kernel, 1), strides=(stride, 1),
-                name=f"band{b}_up",
+                dtype=c.core_dtype, name=f"band{b}_up",
             )(band)
             # crop/pad to the exact encoder width
             up = up[:, :w]
@@ -190,7 +214,8 @@ class SULayer(nn.Module):
                 up = jnp.pad(up, ((0, 0), (0, w - up.shape[1]), (0, 0), (0, 0)))
             # fusion with the encoder skip (concat -> dense)
             fused = jnp.concatenate([up, skips[b]], axis=-1)
-            fused = nn.Dense(self.out_dim, name=f"band{b}_fuse")(fused)
+            fused = nn.Dense(self.out_dim, dtype=c.core_dtype,
+                             name=f"band{b}_fuse")(fused)
             fused = nn.gelu(fused)
             outs.append(fused)
         return jnp.concatenate(outs, axis=1)
@@ -203,11 +228,14 @@ class _LSTMGates(nn.Module):
     the flax cell."""
 
     hidden: int
+    dtype: jnp.dtype | None = None
 
     def setup(self):
         H = self.hidden
-        self.inp = [nn.Dense(H, use_bias=False, name=f"i{g}") for g in "ifgo"]
-        self.hid = [nn.Dense(H, use_bias=True, name=f"h{g}") for g in "ifgo"]
+        self.inp = [nn.Dense(H, use_bias=False, dtype=self.dtype,
+                             name=f"i{g}") for g in "ifgo"]
+        self.hid = [nn.Dense(H, use_bias=True, dtype=self.dtype,
+                             name=f"h{g}") for g in "ifgo"]
 
 
 def _fused_lstm_scan(cell: _LSTMGates, x: jax.Array, reverse: bool,
@@ -229,6 +257,9 @@ def _fused_lstm_scan(cell: _LSTMGates, x: jax.Array, reverse: bool,
     Wh = jnp.concatenate(
         [d.variables["params"]["kernel"] for d in cell.hid], axis=1)
     bh = jnp.concatenate([d.variables["params"]["bias"] for d in cell.hid])
+    # match the hoisted projections' compute dtype (bf16 serving core):
+    # the raw kernels bypass Dense's own cast
+    Wh, bh = Wh.astype(zx.dtype), bh.astype(zx.dtype)
 
     def step(carry, zxt):
         c, h = carry
@@ -238,8 +269,8 @@ def _fused_lstm_scan(cell: _LSTMGates, x: jax.Array, reverse: bool,
         h = jax.nn.sigmoid(o) * jnp.tanh(c)
         return (c, h), h
 
-    init = (jnp.zeros((x.shape[0], H), x.dtype),
-            jnp.zeros((x.shape[0], H), x.dtype))
+    init = (jnp.zeros((x.shape[0], H), zx.dtype),
+            jnp.zeros((x.shape[0], H), zx.dtype))
     _, hs = jax.lax.scan(step, init, jnp.swapaxes(zx, 0, 1), unroll=unroll)
     hs = jnp.swapaxes(hs, 0, 1)
     if reverse:
@@ -325,24 +356,32 @@ class BiRNN(nn.Module):
     out: int
     unroll: int = 1
     impl: str = "flax"
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         if self.impl == "lru":
-            fwd = _LRU(self.hidden, name="lru_fwd")(x)
-            bwd = _LRU(self.hidden, name="lru_bwd")(x, reverse=True)
+            # the LRU's associative-scan products compound multiplicative
+            # rounding error over ~10^3-step sequences — keep it f32 even
+            # when the rest of the core runs bf16
+            fwd = _LRU(self.hidden, name="lru_fwd")(x.astype(jnp.float32))
+            bwd = _LRU(self.hidden, name="lru_bwd")(x.astype(jnp.float32),
+                                                    reverse=True)
         elif self.impl == "fused":
-            cf = _LSTMGates(self.hidden, name="OptimizedLSTMCell_0")
-            cb = _LSTMGates(self.hidden, name="OptimizedLSTMCell_1")
+            cf = _LSTMGates(self.hidden, dtype=self.dtype,
+                            name="OptimizedLSTMCell_0")
+            cb = _LSTMGates(self.hidden, dtype=self.dtype,
+                            name="OptimizedLSTMCell_1")
             fwd = _fused_lstm_scan(cf, x, reverse=False, unroll=self.unroll)
             bwd = _fused_lstm_scan(cb, x, reverse=True, unroll=self.unroll)
         else:
-            fwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden),
+            fwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden, dtype=self.dtype),
                          unroll=self.unroll, name="fwd")(x)
-            bwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden), reverse=True,
-                         keep_order=True, unroll=self.unroll, name="bwd")(x)
+            bwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden, dtype=self.dtype),
+                         reverse=True, keep_order=True, unroll=self.unroll,
+                         name="bwd")(x)
         h = jnp.concatenate([fwd, bwd], axis=-1)
-        return nn.Dense(self.out, name="proj")(h)
+        return nn.Dense(self.out, dtype=self.dtype, name="proj")(h)
 
 
 class DualPathLayer(nn.Module):
@@ -353,22 +392,23 @@ class DualPathLayer(nn.Module):
     rnn_hidden: int
     rnn_unroll: int = 1
     rnn_impl: str = "flax"
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         B, F, T, C = x.shape
         # frequency path
-        h = nn.LayerNorm(name="freq_norm")(x)
+        h = nn.LayerNorm(dtype=self.dtype, name="freq_norm")(x)
         h = h.transpose(0, 2, 1, 3).reshape(B * T, F, C)
         h = BiRNN(self.rnn_hidden, C, unroll=self.rnn_unroll,
-                  impl=self.rnn_impl, name="freq_rnn")(h)
+                  impl=self.rnn_impl, dtype=self.dtype, name="freq_rnn")(h)
         h = h.reshape(B, T, F, C).transpose(0, 2, 1, 3)
         x = x + h
         # time path
-        h = nn.LayerNorm(name="time_norm")(x)
+        h = nn.LayerNorm(dtype=self.dtype, name="time_norm")(x)
         h = h.reshape(B * F, T, C)
         h = BiRNN(self.rnn_hidden, C, unroll=self.rnn_unroll,
-                  impl=self.rnn_impl, name="time_rnn")(h)
+                  impl=self.rnn_impl, dtype=self.dtype, name="time_rnn")(h)
         h = h.reshape(B, F, T, C)
         return x + h
 
@@ -391,6 +431,7 @@ class SCNet(nn.Module):
         B, ch, F, T = spec.shape
         x = jnp.concatenate([jnp.real(spec), jnp.imag(spec)], axis=1)  # (B, 4, F, T)
         x = x.transpose(0, 2, 3, 1)  # (B, F, T, 4)
+        x = x.astype(jnp.dtype(c.compute_dtype))  # bf16 core when configured
 
         freqs = [F]
         skips_all = []
@@ -401,14 +442,17 @@ class SCNet(nn.Module):
 
         for i in range(c.num_dplayers):
             x = DualPathLayer(c.dims[-1], c.rnn_hidden, c.rnn_unroll,
-                              c.rnn_impl, name=f"dp{i}")(x)
+                              c.rnn_impl, dtype=c.core_dtype,
+                              name=f"dp{i}")(x)
 
         for i in reversed(range(len(c.dims) - 1)):
             out_dim = c.dims[i] if i > 0 else c.dims[1]
             x = SULayer(c, out_dim, freqs[i], name=f"su{i}")(x, skips_all[i])
 
         # mask head: per source, complex mask for each mixture channel
-        m = nn.Dense(c.sources * ch * 2, name="mask_head")(x)  # (B, F, T, S*ch*2)
+        m = nn.Dense(c.sources * ch * 2, dtype=c.core_dtype,
+                     name="mask_head")(x)  # (B, F, T, S*ch*2)
+        m = m.astype(jnp.float32)  # lax.complex needs f32; spec stays f32
         m = m.reshape(B, F, T, c.sources, ch, 2)
         mask = jax.lax.complex(m[..., 0], m[..., 1])  # (B, F, T, S, ch)
         mask = mask.transpose(0, 3, 4, 1, 2)  # (B, S, ch, F, T)

@@ -52,12 +52,13 @@ def test_readme_row_matches_artifact_json(stem, fmt):
 def test_readme_per_stem_matches_scnet2_artifact():
     meta = _meta("scnet_synth2_best")
     row = _row("artifacts/scnet_synth2_best")
-    # the per-stem list, if quoted, must be the artifact's
-    m = re.search(r"\[([-\d.,\s]+)\]", row)
-    if m:
-        quoted = [float(x) for x in m.group(1).split(",")]
-        assert quoted == [round(float(v), 2)
-                          for v in meta["si_sdr_per_stem"]], row
+    # the per-stem list, if quoted, must be the artifact's (the README uses
+    # the typographic minus; other bracketed lists like the dims don't count)
+    m = re.search(r"per-stem \[([−\-\d.,\s]+)\]", row)
+    assert m, f"row quotes no 'per-stem [...]' list: {row}"
+    quoted = [float(x.replace("−", "-")) for x in m.group(1).split(",")]
+    assert quoted == [round(float(v), 2)
+                      for v in meta["si_sdr_per_stem"]], row
 
 
 def test_readme_real_audio_recon_matches_metrics():
