@@ -52,6 +52,13 @@ def get_params(argv=None):
                         "(separation_loss_balanced): every stem gets an "
                         "equal gradient vote regardless of its mix level — "
                         "the fix for the pass-through 'other' stem")
+    p.add_argument("--loss", choices=("paper", "balanced", "sisdr"),
+                   default=None,
+                   help="objective: 'paper' L1+MR-STFT, 'balanced' "
+                        "per-source scale-normalized, 'sisdr' soft-capped "
+                        "negative SI-SDR + mixture-consistency (trains on "
+                        "the eval metric directly; separation_loss_sisdr). "
+                        "Default: 'balanced' if --loss_balance else 'paper'")
     p.add_argument("--rnn_impl", choices=("flax", "fused", "lru"),
                    default="flax",
                    help="dual-path core: 'flax'/'fused' BiLSTM (same "
@@ -205,7 +212,8 @@ def _train_on_device_synth(args):
                                     float(args.sample_rate),
                                     augment=not args.no_augment,
                                     synth_version=args.synth_version,
-                                    balanced_loss=args.loss_balance)
+                                    balanced_loss=args.loss_balance,
+                                    loss=args.loss)
     eval_fn = make_synth_eval_fn(model, args.eval_songs, chunk,
                                  float(args.sample_rate),
                                  synth_version=args.synth_version)
@@ -256,6 +264,8 @@ def _train_on_device_synth(args):
                     "sample_rate": args.sample_rate,
                     "synth_version": args.synth_version,
                     "loss_balance": args.loss_balance,
+                    "loss": args.loss or (
+                        "balanced" if args.loss_balance else "paper"),
                     "config": {"n_fft": cfg.n_fft, "hop_length": cfg.hop_length,
                                "dims": list(cfg.dims),
                                "num_dplayers": cfg.num_dplayers,

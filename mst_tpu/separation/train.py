@@ -79,6 +79,38 @@ def separation_loss_balanced(pred: jax.Array, target: jax.Array,
     return 0.5 * l1 + 0.5 * spec
 
 
+def separation_loss_sisdr(pred: jax.Array, target: jax.Array,
+                          mixture: jax.Array, tau_db: float = 30.0,
+                          mc_weight: float = 0.5) -> jax.Array:
+    """Soft-capped negative SI-SDR + mixture-consistency (round-4 quality
+    objective).
+
+    The held-out metric IS mean per-stem SI-SDR, so train on it directly:
+    each (batch, source, channel) term is the eval quantity, which makes the
+    loss per-source balanced by construction (every stem contributes one dB
+    number regardless of its mix level — the property separation_loss_balanced
+    approximates through scale normalization).  Two standard fixes make it a
+    good objective rather than a brittle one:
+
+    - **soft cap at ``tau_db``** (the "SDR-max" trick): the raw negative
+      SI-SDR keeps paying unbounded reward for polishing already-easy chunks;
+      capping via -10*log10(10^(-sdr/10) + 10^(-tau/10)) saturates the
+      per-term reward at tau dB so gradient moves to the hard stems.
+    - **mixture consistency**: SI-SDR is gain-blind, but downstream demix
+      reconstructs the mix as the stem sum (and the real-audio evidence
+      bundle asserts recon_rel_err), so an L1 anchor |sum(pred) - mixture|
+      relative to the mixture level pins the output scale.
+    """
+    sdr = si_sdr(pred, target)  # (B, S, C) in dB
+    capped = -10.0 * jnp.log10(
+        jnp.power(10.0, -sdr / 10.0) + 10.0 ** (-tau_db / 10.0))
+    sdr_term = -jnp.mean(capped) / 10.0  # ~unit scale
+    recon = jnp.sum(pred, axis=1)
+    mc = jnp.mean(jnp.abs(recon - mixture)) / (
+        jnp.mean(jnp.abs(mixture)) + 1e-8)
+    return sdr_term + mc_weight * mc
+
+
 def shuffle_stems_augment(rng: jax.Array, stems: jax.Array) -> jax.Array:
     """Remix augmentation: per-stem random gain + channel swap
     (B, S, 2, T) -> same.  The classic MSS trick of recombining stems
@@ -136,20 +168,30 @@ def _synth_batch_fn(synth_version: int):
 def make_synth_train_step(model: SCNet, tx, batch_size: int,
                           chunk_samples: int, sample_rate: float,
                           augment: bool = True, synth_version: int = 1,
-                          balanced_loss: bool = False):
+                          balanced_loss: bool = False,
+                          loss: str | None = None):
     """Train step with data synthesized *inside* the jit (separation/synth.py
     or the harder synth_v2.py — ``synth_version``): the generator + forward +
     backward compile to one program, so the host (1 CPU core here) never
-    touches training data.  ``balanced_loss`` switches to the per-source
-    scale-normalized objective (separation_loss_balanced)."""
+    touches training data.  ``loss`` selects the objective: "paper"
+    (L1 + MR-STFT, the SCNet recipe), "balanced" (per-source scale-normalized
+    — also the legacy ``balanced_loss=True``), or "sisdr"
+    (separation_loss_sisdr — trains on the eval metric directly)."""
     synth_batch = _synth_batch_fn(synth_version)
-    loss_impl = separation_loss_balanced if balanced_loss else separation_loss
+    loss = loss or ("balanced" if balanced_loss else "paper")
+    if loss not in ("paper", "balanced", "sisdr"):
+        raise ValueError(f"unknown loss {loss!r}")
 
     def loss_fn(params, stems):
         mixture = jnp.sum(stems, axis=1)
         pred = model.apply({"params": params}, mixture)
-        loss = loss_impl(pred, stems)
-        return loss, {"loss": loss}
+        if loss == "sisdr":
+            val = separation_loss_sisdr(pred, stems, mixture)
+        elif loss == "balanced":
+            val = separation_loss_balanced(pred, stems)
+        else:
+            val = separation_loss(pred, stems)
+        return val, {"loss": val}
 
     def train_step(state: SeparationState, rng):
         rng = jax.random.fold_in(rng, state.step)

@@ -139,6 +139,36 @@ def test_balanced_separation_loss_equalizes_quiet_stems(rng):
     assert float(z) < 1e-3
 
 
+def test_sisdr_loss_trains_on_the_eval_metric(rng):
+    """separation_loss_sisdr = soft-capped negative SI-SDR (the held-out
+    metric) + mixture-consistency anchor (round-4 quality objective)."""
+    from mst_tpu.separation.train import separation_loss_sisdr, si_sdr
+
+    tgt = jnp.asarray(rng.standard_normal((2, 4, 2, 4096)).astype(np.float32) * 0.1)
+    mix = jnp.sum(tgt, axis=1)
+    noisy = tgt + 0.3 * jnp.asarray(
+        rng.standard_normal(tgt.shape).astype(np.float32) * 0.1)
+
+    perfect = float(separation_loss_sisdr(tgt, tgt, mix))
+    bad = float(separation_loss_sisdr(noisy, tgt, mix))
+    # perfect prediction saturates at the cap (-tau/10 = -3.0 exactly,
+    # plus zero mixture-consistency); noisy prediction scores worse
+    assert abs(perfect - (-3.0)) < 1e-2, perfect
+    assert bad > perfect + 0.5, (bad, perfect)
+
+    # gradient ascends SI-SDR: one gradient step from noisy must not
+    # decrease the mean capped SI-SDR
+    g = jax.grad(lambda p: separation_loss_sisdr(p, tgt, mix))(noisy)
+    stepped = noisy - 1e-2 * g / (jnp.max(jnp.abs(g)) + 1e-12)
+    assert float(jnp.mean(si_sdr(stepped, tgt))) > float(
+        jnp.mean(si_sdr(noisy, tgt)))
+
+    # scale-invariance is anchored: a 2x global gain leaves raw SI-SDR
+    # unchanged but the mixture-consistency term must penalize it
+    scaled = float(separation_loss_sisdr(2.0 * tgt, tgt, mix))
+    assert scaled > perfect + 0.1, scaled
+
+
 def test_feature_group_slices_cover_all_64():
     groups = feature_group_slices()
     allidx = sorted(i for idx in groups.values() for i in idx)
