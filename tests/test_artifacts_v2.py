@@ -223,3 +223,60 @@ def test_tcn_v2_artifact_regression():
     mean_imp = float(imp.mean())
     assert mean_imp > meta["improvement"] - 0.2, (mean_imp, meta["improvement"])
     assert mean_imp > 0.0, mean_imp  # transfer helps at all
+
+
+def test_resolution_curve_artifacts_unsaturated():
+    """Committed style-resolution curves (main encoder + FxEncoder) are
+    usable psychometric curves, not saturated point estimates (round-3
+    verdict item 4): top1 rises with confuser alpha, the fine end sits
+    well below 1.0 (the encoder still has unresolved headroom to measure
+    against), and the coarse end shows the encoder does resolve clearly
+    distinct styles.  Bars are structural, so a regenerated curve from a
+    better encoder still passes while a saturated one (all 1.0) fails."""
+    for stem in ("encoder_synth2_resolution", "fx_encoder_synth_resolution"):
+        path = ROOT / "artifacts" / f"{stem}.json"
+        if not path.exists():
+            pytest.skip(f"{stem} not generated yet")
+        data = json.loads(path.read_text())
+        assert data["protocol"] == "confuser"
+        assert data["pool_size"] == 2 * data["songs"]
+        curve = data["curve"]
+        alphas = [r["alpha"] for r in curve]
+        assert alphas == sorted(alphas) and len(alphas) >= 4
+        top1 = [r["top1"] for r in curve]
+        assert top1[0] < 0.95, (stem, top1)   # fine end unsaturated
+        assert top1[-1] > 0.90, (stem, top1)  # coarse end resolved
+        # broadly monotone in alpha (small noise allowed per point)
+        assert all(b >= a - 0.06 for a, b in zip(top1, top1[1:])), (stem, top1)
+
+
+@pytest.mark.slow
+def test_fx_resolution_artifact_regression():
+    """Re-run one point of the FxEncoder resolution sweep (alpha=0.05)
+    on fresh held-out songs and hold the committed artifact to it:
+    within noise of the recorded top1, and still unsaturated."""
+    from mst_tpu.cli.style_resolution import _fx_chunk_fn, _topk, get_params
+
+    res_path = ROOT / "artifacts" / "fx_encoder_synth_resolution.json"
+    npz, meta = _load_meta("fx_encoder_synth_best")
+    if not res_path.exists():
+        pytest.skip("fx resolution curve not generated yet")
+    res = json.loads(res_path.read_text())
+    rec = next(r for r in res["curve"] if abs(r["alpha"] - 0.05) < 1e-9)
+
+    songs, chunk, alpha = 64, 8, 0.05
+    args = get_params(["--encoder_npz", str(npz), "--model", "fx",
+                       "--chunk", str(chunk)])
+    chunk_embs, _, _ = _fx_chunk_fn(args, meta)
+    qs, ks, cs = [], [], []
+    for i in range(0, songs, chunk):
+        key = jax.random.fold_in(jax.random.key(20260818), i)  # fresh seed
+        emb = np.asarray(chunk_embs(key, alpha))
+        qs.append(emb[0::3]); ks.append(emb[1::3]); cs.append(emb[2::3])
+    q = np.concatenate(qs)
+    pool = np.concatenate([np.concatenate(ks), np.concatenate(cs)])
+    top1 = float(_topk(q, pool, 1).mean())
+    # smaller pool (128 vs 512) -> easier task, so recorded-minus-noise is
+    # a fair floor; the ceiling check keeps the eval meaningfully hard
+    assert top1 > rec["top1"] - 0.15, (top1, rec["top1"])
+    assert top1 < 1.0, top1
