@@ -112,6 +112,8 @@ def test_distinctive_pairs_cli_chain(tiny_corpus, tmp_path):
     assert (out / "pair0_transferred.wav").exists()
 
 
+@pytest.mark.slow  # duplicates the fast chain test; the --encoder_npz
+# consumption path is also exercised by the committed-artifact slow tests
 def test_distinctive_pairs_cli_chain_encoder_npz(tiny_corpus, tmp_path):
     """The distinctive-pairs chain consumes a trained .npz encoder artifact
     via --encoder_npz (audio/model config read from the artifact metadata,
@@ -245,6 +247,8 @@ def test_validate_retrieval_cli_committed_artifact(tmp_path):
     assert metrics["num_queries"] == 3
 
 
+@pytest.mark.slow  # the fx-model resolution test below covers the sweep
+# machinery; the encoder branch's helpers are covered by artifact tests
 def test_style_resolution_cli_curve(tmp_path):
     """Style-resolution sweep runs on a tiny trained artifact and writes a
     per-alpha top1/top5 curve whose keys match the requested alphas."""
@@ -341,6 +345,8 @@ def test_effects_transfer_cli_self_target(tmp_path):
     assert set(meta["effect_params"]) == set(meta["true_effect_params"])
 
 
+@pytest.mark.slow  # cma_es_search has a fast unit test (test_eval_extras);
+# only the CLI plumbing differs from the fast gradient-mode test above
 def test_effects_transfer_cli_cma(tmp_path):
     """--method cma covers the reference's CMA-ES protocol end to end."""
     from mst_tpu.cli.effects_transfer import main

@@ -56,6 +56,8 @@ def test_fx_encoder_training_produces_consumable_artifact(tmp_path, capsys):
     assert (st_dir / "final").exists()
 
 
+@pytest.mark.slow  # same trainer spin-up as the artifact test above;
+# unique bit is only the --hard_negative_alpha 3-view batch flag
 def test_fx_hard_negative_training(tmp_path):
     """--hard_negative_alpha trains on 3-view batches (near-style negative
     under a fresh label) and records the setting in metadata."""
