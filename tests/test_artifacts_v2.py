@@ -27,10 +27,10 @@ def _load_meta(stem):
 @pytest.mark.parametrize("stem", ["scnet_synth2_best",
                                   "scnet_synth2_lru_best"])
 def test_scnet_v2_artifact_regression(stem):
-    """Held-out v2 SI-SDR within noise of the recorded best (fresh eval key;
-    bar = recorded - 1.5 dB), and clearly above the mixture baseline.
-    Covers both dual-path cores: the BiLSTM artifact and the
-    associative-scan LRU artifact (equal-budget A/B: 0.36 vs 0.34 dB)."""
+    """Held-out v2 SI-SDR regression for both dual-path cores under the
+    artifact's recorded protocol.  Equal 24k-step budget A/B (12k balanced
+    + 12k SI-SDR continuation): LRU 2.74 vs BiLSTM 2.67 on the training
+    eval key; 1.90 vs 1.45 on this test's fresh key."""
     from mst_tpu.checkpoints.npz_io import load_params_npz
     from mst_tpu.separation import SCNet, SCNetConfig
     from mst_tpu.separation.train import make_synth_eval_fn
@@ -45,11 +45,17 @@ def test_scnet_v2_artifact_regression(stem):
     r = eval_fn(params, jax.random.key(20260817))  # fresh held-out mixes
     sdr = float(r["si_sdr"])
     base = float(r["input_si_sdr"])
-    assert sdr > meta["si_sdr"] - 1.5, (sdr, meta["si_sdr"])
-    # +1 dB over the mixture: the 8-song fresh-key eval swings ~1.5 dB in
-    # input SI-SDR across keys (e.g. -3.9 on the training eval key vs -2.3
-    # here), so the old +2.0 bar tested the key, not the artifact
-    assert sdr > base + 1.0, (sdr, base)  # meaningfully separates
+    if "si_sdr_freshkey" in meta:
+        # round-4 artifacts record the value measured under EXACTLY this
+        # protocol (key 20260817, 8 songs, CPU), so the bar can sit tight:
+        # the fresh key's input mix distribution differs from the training
+        # eval key's (-2.3 vs -3.9 input SI-SDR), which meta-relative bars
+        # conflated
+        assert sdr > meta["si_sdr_freshkey"] - 0.5, (sdr, meta["si_sdr_freshkey"])
+        assert sdr > base + 3.0, (sdr, base)  # separates by a wide margin
+    else:
+        assert sdr > meta["si_sdr"] - 1.5, (sdr, meta["si_sdr"])
+        assert sdr > base + 1.0, (sdr, base)  # meaningfully separates
 
 
 @pytest.mark.slow
