@@ -61,6 +61,15 @@ def test_readme_per_stem_matches_scnet2_artifact():
                       for v in meta["si_sdr_per_stem"]], row
 
 
+def test_readme_xl_row_matches_artifact_json():
+    path = ROOT / "artifacts_r4" / "xl" / "scnet_synth2_best.json"
+    if not path.exists():
+        pytest.skip("xl scale-A/B artifact not committed")
+    meta = json.loads(path.read_text())
+    row = _row("artifacts_r4/xl/scnet_synth2_best.json")
+    assert f"{meta['si_sdr']:.2f} dB" in row, row
+
+
 def test_readme_real_audio_recon_matches_metrics():
     path = ROOT / "artifacts" / "real_audio_demix" / "metrics.json"
     if not path.exists():
