@@ -29,7 +29,22 @@ def get_params(argv=None):
     p.add_argument("--input_stems", type=str, default=None,
                    help="pre-separated stem dir (skips SCNet)")
     p.add_argument("--target_stems", type=str, default=None)
+    p.add_argument("--self_target_style_seed", type=int, default=None,
+                   help="build the target from the INPUT's own separated "
+                        "stems re-mixed under a different mixing style "
+                        "(separation/synth_v2.render_style with this seed): "
+                        "same content, different mix — the known-ground-"
+                        "truth flagship demo protocol "
+                        "(ref: inference_e2e_style_transfer.py:439-466)")
     p.add_argument("--segment_offset", type=float, default=0.0)
+    p.add_argument("--gain_stage_rms_db", type=float, default=None,
+                   help="scale input and target stems so each MIXTURE hits "
+                        "this RMS (dB) before embedding/transfer.  The TCN "
+                        "is trained at the synth corpus operating point "
+                        "(mixture RMS ~ -13..-18 dB); real assets can sit "
+                        "10+ dB below it, where the conv stack (BN + "
+                        "nonlinearities, not scale-equivariant) overshoots. "
+                        "All saved wavs are in the staged domain.")
     add_audio_args(p)
     add_model_args(p)
     p.add_argument("--encoder_checkpoint", type=str, default=None)
@@ -54,6 +69,12 @@ def get_params(argv=None):
     p.add_argument("--num_blocks", type=int, default=14)
     p.add_argument("--kernel_size", type=int, default=15)
     p.add_argument("--output_dir", type=str, default="e2e_output/")
+    p.add_argument("--per_pair_steps", type=int, default=0,
+                   help="after the zero-shot TCN pass, run this many steps "
+                        "of per-pair optimization (eval/per_pair.py — the "
+                        "reference's test_tcn_style_transfer.py protocol, "
+                        "'converged' = >=20%% distance reduction) and save "
+                        "optimized_mix.wav + metrics")
     p.add_argument("--seed", type=int, default=42)
     return p.parse_args(argv)
 
@@ -121,7 +142,30 @@ def main(argv=None):
         return sep.separate(mixture)
 
     input_stems = get_stems(args.input_stems, args.input_audio)
-    target_stems = get_stems(args.target_stems, args.target_audio)
+    if args.self_target_style_seed is not None:
+        # target = the input's own stems under a fresh per-stem mixing
+        # style (gain/pan/tilt/compression/reverb) — content is held
+        # fixed so the transfer target is well-posed on real audio
+        from mst_tpu.separation.synth_v2 import render_style
+
+        target_stems = np.asarray(jax.jit(
+            lambda k, s: render_style(k, s, float(sr)))(
+                jax.random.key(args.self_target_style_seed),
+                jnp.asarray(input_stems, jnp.float32)))
+    else:
+        target_stems = get_stems(args.target_stems, args.target_audio)
+
+    gain_stage = {}
+    if args.gain_stage_rms_db is not None:
+        def staged(stems, name):
+            rms = float(np.sqrt((stems.sum(0) ** 2).mean()))
+            g = 10.0 ** (args.gain_stage_rms_db / 20.0) / max(rms, 1e-9)
+            gain_stage[name] = {"gain": g,
+                                "raw_rms_db": 20.0 * np.log10(max(rms, 1e-9))}
+            return np.asarray(stems * g, np.float32)
+
+        input_stems = staged(np.asarray(input_stems), "input")
+        target_stems = staged(np.asarray(target_stems), "target")
 
     # --- models ---
     embed_fn = None
@@ -208,16 +252,59 @@ def main(argv=None):
     write_wav(out / "transferred_mix.wav", out_stems.sum(0), sr)
     for i, name in enumerate(STEMS):
         write_wav(out / f"transferred_{name}.wav", out_stems[i], sr)
+    # feature-space transfer quality (ref: style_transfer_eval.py:277-318):
+    # |target - output| per audio-QA feature, with |target - input| as the
+    # do-nothing baseline the transfer must beat
+    from mst_tpu.eval.transfer_eval import StyleTransferEvaluator
+
+    qa = StyleTransferEvaluator(embed_fn=None, sample_rate=sr)
+    target_mix = target_stems.sum(0)
     meta = {
         "initial_distance": float(metrics["initial_distance"][0]),
         "final_distance": float(metrics["final_distance"][0]),
         "improvement": float(metrics["improvement"][0]),
+        "transfer_quality": qa.evaluate_transfer_quality(
+            target_mix, out_stems.sum(0)),
+        "baseline_quality": qa.evaluate_transfer_quality(
+            target_mix, input_stems.sum(0)),
+        "input_audio": args.input_audio or args.input_stems,
+        "segment_offset": args.segment_offset,
+        "self_target_style_seed": args.self_target_style_seed,
+        "gain_stage_rms_db": args.gain_stage_rms_db,
+        "gain_stage": gain_stage or None,
+        "encoder_npz": args.encoder_npz,
+        "tcn_npz": args.tcn_npz,
         "config": {"hidden_channels": args.hidden_channels,
                    "num_blocks": args.num_blocks,
                    "kernel_size": args.kernel_size,
                    "encoder_type": args.encoder_type,
                    "encoder_dim": cond_dim},
     }
+
+    if args.per_pair_steps:
+        from mst_tpu.eval.per_pair import optimize_pair
+        from mst_tpu.pipeline import embed_stems
+
+        if embed_fn is None:  # mixing_style path: fused stem embedding
+            pair_embed = lambda stems: embed_stems(enc, enc_vars, stems, fcfg)
+        else:                 # fx_encoder path embeds the mixture
+            pair_embed = lambda stems: embed_fn(stems.sum(axis=1))
+        opt_stems, res = optimize_pair(
+            None, fcfg, jnp.asarray(input_stems, jnp.float32),
+            jnp.asarray(target_stems, jnp.float32),
+            num_steps=args.per_pair_steps,
+            rng=jax.random.key(args.seed), embed_fn=pair_embed)
+        write_wav(out / "optimized_mix.wav", np.asarray(opt_stems).sum(0), sr)
+        meta["per_pair"] = {
+            "steps": args.per_pair_steps,
+            "initial_distance": res["initial_distance"],
+            "final_distance": res["final_distance"],
+            "improvement": res["improvement"],
+            "converged": res["converged"],
+            "transfer_quality": qa.evaluate_transfer_quality(
+                target_mix, np.asarray(opt_stems).sum(0)),
+        }
+
     (out / "metadata.json").write_text(json.dumps(meta, indent=2))
     print(json.dumps(meta))
 
