@@ -375,13 +375,19 @@ def main():
     # the v2 flagship separator (quality-first, ~4x the headline model's
     # compute: dims [4,64,128,256], rnn 256) measured under the same
     # protocol — its own extra so the headline protocol stays comparable
-    # across rounds
+    # across rounds.  The measured artifact is the LRU-core flagship (the
+    # equal-budget A/B winner, README artifact table); _scnet_cfg honors
+    # the artifact's recorded rnn_impl, falling back to the BiLSTM best
+    # if the LRU artifact is ever absent.
     from pathlib import Path
-    if (Path(__file__).resolve().parent / "artifacts"
-            / "scnet_synth2_best.npz").exists():
+    art_dir = Path(__file__).resolve().parent / "artifacts"
+    v2_stem = next((s for s in ("scnet_synth2_lru_best", "scnet_synth2_best")
+                    if (art_dir / f"{s}.npz").exists()), None)
+    if v2_stem:
         v2_rate, v2_flops, v2_hbm, v2_batch = _measure_full_tpu(
-            batch_size=4, stem="scnet_synth2_best")
+            batch_size=4, stem=v2_stem)
         extras["full_pipeline_v2_clips_per_sec"] = round(v2_rate, 3)
+        extras["full_pipeline_v2_artifact"] = v2_stem
         extras.update(_roofline_extras("full_pipeline_v2", v2_rate,
                                        v2_flops, v2_hbm, v2_batch))
     extras["embed_vs_torch_cpu"] = round(
