@@ -347,16 +347,63 @@ def _measure_e2e_transfer(iters: int = 10) -> float:
     return sorted(times)[1]
 
 
+def _measure_hbm_peak_gbps(size_mb: int = 512, iters: int = 10) -> float | None:
+    """Measured achievable HBM bandwidth via a known-traffic microbench:
+    ``y = x + 1`` over a ``size_mb`` f32 array moves exactly 2x its size
+    (one read + one write; XLA cannot fuse it away because the output is
+    materialized).  This calibrates the roofline: the XLA cost model's
+    "bytes accessed" double-counts reads that fusion/caching elides, so
+    utilizations derived from it are upper bounds (round-4 verdict #4) —
+    the microbench pins what the hardware actually sustains."""
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        n = size_mb * (1 << 20) // 4
+        x = jnp.zeros((n,), jnp.float32)
+
+        @jax.jit
+        def bump(x):
+            return x + 1.0
+
+        x = bump(x)
+        jax.block_until_ready(x)  # compile + warmup
+        rates = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            y = x
+            for _ in range(iters):
+                y = bump(y)
+            jax.block_until_ready(y)
+            rates.append(2.0 * n * 4 * iters / (time.perf_counter() - t0))
+        return sorted(rates)[1] / 1e9
+    except Exception:
+        return None
+
+
 def _roofline_extras(prefix: str, rate_clips: float, flops, hbm, batch: int):
-    """MFU + HBM-utilization extras for one program (round-3 verdict #2)."""
+    """MFU + HBM-utilization extras for one program (round-3 verdict #2).
+
+    ``hbm_util_*`` uses the cost model's bytes over the datasheet peak and
+    is therefore an UPPER BOUND on true utilization: XLA's "bytes accessed"
+    counts every operand of every fused op, re-counting reads that fusion
+    keeps in registers/CMEM.  When the bound lands above 1.0 (physically
+    impossible as a true utilization) the raw value moves to
+    ``hbm_util_<p>_costmodel_raw`` with an ``_overcount`` flag and the
+    clamped 1.0 is reported, per docs/PERF.md §roofline-calibration."""
     out = {}
     if flops:
         achieved = flops * rate_clips / batch          # FLOP/s sustained
         out[f"mfu_{prefix}"] = round(achieved / V5E_PEAK_FLOPS, 4)
         out[f"{prefix}_gflops_per_clip"] = round(flops / batch / 1e9, 1)
     if hbm:
-        out[f"hbm_util_{prefix}"] = round(
-            hbm * rate_clips / batch / V5E_HBM_BYTES_PER_S, 4)
+        util = hbm * rate_clips / batch / V5E_HBM_BYTES_PER_S
+        if util > 1.0:
+            out[f"hbm_util_{prefix}"] = 1.0
+            out[f"hbm_util_{prefix}_costmodel_raw"] = round(util, 4)
+            out[f"hbm_util_{prefix}_overcount"] = True
+        else:
+            out[f"hbm_util_{prefix}"] = round(util, 4)
     return out
 
 
@@ -381,8 +428,13 @@ def main():
     # if the LRU artifact is ever absent.
     from pathlib import Path
     art_dir = Path(__file__).resolve().parent / "artifacts"
-    v2_stem = next((s for s in ("scnet_synth2_lru_best", "scnet_synth2_best")
-                    if (art_dir / f"{s}.npz").exists()), None)
+    # a candidate needs BOTH weights and the sibling config json — a bare
+    # .npz would make _scnet_cfg fall back to default dims and the load
+    # would fail with a confusing shape error far from the cause
+    v2_stem = next((s for s in ("scnet_synth2_xl_best", "scnet_synth2_lru_best",
+                                "scnet_synth2_best")
+                    if (art_dir / f"{s}.npz").exists()
+                    and (art_dir / f"{s}.json").exists()), None)
     if v2_stem:
         v2_rate, v2_flops, v2_hbm, v2_batch = _measure_full_tpu(
             batch_size=4, stem=v2_stem)
@@ -390,6 +442,13 @@ def main():
         extras["full_pipeline_v2_artifact"] = v2_stem
         extras.update(_roofline_extras("full_pipeline_v2", v2_rate,
                                        v2_flops, v2_hbm, v2_batch))
+    hbm_meas = _measure_hbm_peak_gbps()
+    if hbm_meas:
+        # measured achievable bandwidth (known-traffic microbench) — the
+        # calibrated denominator docs/PERF.md's roofline argument rests on
+        extras["hbm_measured_gbps"] = round(hbm_meas, 1)
+        extras["hbm_measured_frac_of_peak"] = round(
+            hbm_meas * 1e9 / V5E_HBM_BYTES_PER_S, 3)
     extras["embed_vs_torch_cpu"] = round(
         extras["embed_clips_per_sec"] / _measure_embed_cpu_torch(), 2)
     full_cpu = _measure_full_cpu()

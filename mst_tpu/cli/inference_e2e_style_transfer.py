@@ -37,14 +37,19 @@ def get_params(argv=None):
                         "truth flagship demo protocol "
                         "(ref: inference_e2e_style_transfer.py:439-466)")
     p.add_argument("--segment_offset", type=float, default=0.0)
-    p.add_argument("--gain_stage_rms_db", type=float, default=None,
-                   help="scale input and target stems so each MIXTURE hits "
-                        "this RMS (dB) before embedding/transfer.  The TCN "
-                        "is trained at the synth corpus operating point "
-                        "(mixture RMS ~ -13..-18 dB); real assets can sit "
-                        "10+ dB below it, where the conv stack (BN + "
-                        "nonlinearities, not scale-equivariant) overshoots. "
-                        "All saved wavs are in the staged domain.")
+    p.add_argument("--gain_stage_rms_db", type=float, default=-16.0,
+                   help="input normalization (ON by default): scale input "
+                        "and target stems so each MIXTURE hits this RMS "
+                        "(dB) before embedding/transfer.  The TCN is "
+                        "trained at this operating point (the conv stack — "
+                        "BN + nonlinearities — is not scale-equivariant, "
+                        "and real assets can sit 10+ dB away).  Raw-level "
+                        "audio therefore needs no manual staging flag; "
+                        "pass --no_gain_stage to disable.  All saved wavs "
+                        "are in the staged domain.")
+    p.add_argument("--no_gain_stage", dest="gain_stage_rms_db",
+                   action="store_const", const=None,
+                   help="disable the default input gain staging")
     add_audio_args(p)
     add_model_args(p)
     p.add_argument("--encoder_checkpoint", type=str, default=None)

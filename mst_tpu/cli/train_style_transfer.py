@@ -39,6 +39,27 @@ def get_params(argv=None):
                    help="procedural corpus: 1 = disjoint-signature stems, "
                         "2 = shared-harmony songs with per-song mixing "
                         "styles (separation/synth_v2.py)")
+    p.add_argument("--separator_npz", type=str, default=None,
+                   help="separator-DOMAIN training (--on_device_synth only): "
+                        "pass every synthesized mixture through this frozen "
+                        "SCNet artifact inside the jitted data path and "
+                        "train the TCN on the separated stems — the serving "
+                        "domain (real audio is always separator output, "
+                        "ref: inference_e2e_style_transfer.py:271-287). "
+                        "Closes the clean-synth -> separator-output domain "
+                        "gap that breaks zero-shot transfer on real audio.")
+    p.add_argument("--self_pair_prob", type=float, default=0.5,
+                   help="separator-domain mode: probability a training pair "
+                        "holds content fixed (target = the input's own "
+                        "separated stems under a fresh mixing style — the "
+                        "flagship demo protocol) vs a different song")
+    p.add_argument("--gain_stage_rms_db", type=float, default=-16.0,
+                   help="separator-domain mode: stage each pair's mixtures "
+                        "to this RMS (dB), matching the serving CLI default")
+    p.add_argument("--gain_jitter_db", type=float, default=3.0,
+                   help="separator-domain mode: uniform +-dB jitter around "
+                        "--gain_stage_rms_db during training (level "
+                        "robustness; eval pairs use the exact level)")
     p.add_argument("--eval_interval", type=int, default=250)
     p.add_argument("--eval_pairs", type=int, default=16)
     p.add_argument("--matmul_precision", choices=("default", "highest"),
@@ -201,24 +222,103 @@ def _train_on_device_synth_inner(args):
 
     batch_sh = data_sharding(mesh)
 
-    @partial(jax.jit, out_shardings={"input_stems": batch_sh,
-                                     "target_stems": batch_sh})
-    def synth_pair(key):
-        ki, kt = jax.random.split(key)
-        return {"input_stems": synth_batch(ki, B, T, sr),
-                "target_stems": synth_batch(kt, B, T, sr)}
+    demix_fn = None
+    if args.separator_npz:
+        from mst_tpu.separation import SCNetSeparator
+        from mst_tpu.separation.demix import make_demix_batch_fn
+        from mst_tpu.separation.synth_v2 import render_style
 
-    @jax.jit
-    def eval_pair(state, key):
-        ki, kt = jax.random.split(key)
-        inp = synth_batch(ki, args.eval_pairs, T, sr)
-        tgt = synth_batch(kt, args.eval_pairs, T, sr)
-        _, m = apply_style_transfer(cfg, enc, enc_vars, tcn, gen, state,
-                                    inp, tgt)
-        return (jnp.mean(m["improvement"]), jnp.mean(m["initial_distance"]),
-                jnp.mean(m["final_distance"]))
+        sep = SCNetSeparator.from_checkpoint(args.separator_npz,
+                                             sample_rate=int(sr))
+        demix_fn = make_demix_batch_fn(
+            sep.model, sep.variables, T, chunk_seconds=sep.chunk_seconds,
+            overlap=sep.overlap, sample_rate=int(sr))
+        print(f"separator-domain training: {args.separator_npz} "
+              f"(chunk {sep.chunk_seconds}s, self_pair_prob "
+              f"{args.self_pair_prob}, stage {args.gain_stage_rms_db} dB "
+              f"+-{args.gain_jitter_db})")
+
+        def stage_stems(stems, key, jitter_db):
+            """Scale each item so its MIXTURE RMS hits the staging level
+            (the serving CLI's --gain_stage_rms_db protocol,
+            cli/inference_e2e_style_transfer.py)."""
+            mix = stems.sum(axis=1)  # (B, 2, T)
+            rms = jnp.sqrt(jnp.mean(mix ** 2, axis=(1, 2)))
+            db = args.gain_stage_rms_db
+            if jitter_db:
+                db = db + jax.random.uniform(
+                    key, rms.shape, minval=-jitter_db, maxval=jitter_db)
+            g = 10.0 ** (db / 20.0) / jnp.maximum(rms, 1e-9)
+            return stems * g[:, None, None, None]
+
+        def sep_domain_pairs(key, n, jitter_db, self_mask=None):
+            """(input, target) pairs in the SERVING domain: input = SCNet
+            of a synth mixture; target = either the input's own separated
+            stems under a fresh style (same content, the flagship demo
+            protocol) or a different separated song (cross-content, the
+            reference's two-song protocol)."""
+            ki, kt, ks, kp, kg1, kg2 = jax.random.split(key, 6)
+            sep_i = demix_fn(synth_batch(ki, n, T, sr).sum(axis=1))
+            sep_t = demix_fn(synth_batch(kt, n, T, sr).sum(axis=1))
+            styled = render_style(ks, sep_i, sr)
+            if self_mask is None:
+                self_mask = jax.random.bernoulli(kp, args.self_pair_prob, (n,))
+            tgt = jnp.where(self_mask[:, None, None, None], styled, sep_t)
+            return (stage_stems(sep_i, kg1, jitter_db),
+                    stage_stems(tgt, kg2, jitter_db))
+
+    if demix_fn is None:
+        @partial(jax.jit, out_shardings={"input_stems": batch_sh,
+                                         "target_stems": batch_sh})
+        def synth_pair(key):
+            ki, kt = jax.random.split(key)
+            return {"input_stems": synth_batch(ki, B, T, sr),
+                    "target_stems": synth_batch(kt, B, T, sr)}
+
+        @jax.jit
+        def eval_pair(state, key):
+            ki, kt = jax.random.split(key)
+            inp = synth_batch(ki, args.eval_pairs, T, sr)
+            tgt = synth_batch(kt, args.eval_pairs, T, sr)
+            _, m = apply_style_transfer(cfg, enc, enc_vars, tcn, gen, state,
+                                        inp, tgt)
+            return (jnp.mean(m["improvement"]),
+                    jnp.mean(m["initial_distance"]),
+                    jnp.mean(m["final_distance"]), {})
+    else:
+        @partial(jax.jit, out_shardings={"input_stems": batch_sh,
+                                         "target_stems": batch_sh})
+        def synth_pair(key):
+            inp, tgt = sep_domain_pairs(key, B, args.gain_jitter_db)
+            return {"input_stems": inp, "target_stems": tgt}
+
+        @jax.jit
+        def eval_pair(state, key):
+            # deterministic halves: first half same-content (demo
+            # protocol), second half cross-content; exact staging level
+            E = args.eval_pairs
+            half = E // 2
+            self_mask = jnp.arange(E) < half
+
+            def one(k_and_m):
+                k, m = k_and_m
+                inp, tgt = sep_domain_pairs(k, 1, 0.0, self_mask=m[None])
+                _, met = apply_style_transfer(cfg, enc, enc_vars, tcn, gen,
+                                              state, inp, tgt)
+                return (met["improvement"][0], met["initial_distance"][0],
+                        met["final_distance"][0])
+
+            # lax.map (not vmap): eval runs beside training jobs; one pair
+            # at a time keeps peak HBM at the training step's level
+            imp, d0, d1 = jax.lax.map(
+                one, (jax.random.split(key, E), self_mask))
+            return (jnp.mean(imp), jnp.mean(d0), jnp.mean(d1),
+                    {"improvement_self": jnp.mean(imp[:half]),
+                     "improvement_cross": jnp.mean(imp[half:])})
 
     stem = "tcn_synth" if args.synth_version == 1 else "tcn_synth2"
+    if demix_fn is not None:
+        stem += "_sep"
     logger = MetricsLogger(args.log_dir, f"style_transfer_{stem}")
     rng = jax.random.key(args.seed + 1)
     eval_key = jax.random.key(args.seed + 777_000)
@@ -241,12 +341,15 @@ def _train_on_device_synth_inner(args):
                   " ".join(f"{k}={v:.4f}" for k, v in scalars.items()),
                   flush=True)
         if step % args.eval_interval == 0 or step == total_steps:
-            imp, d0, d1 = (float(x) for x in
-                           eval_pair(state, jax.random.fold_in(eval_key, step)))
-            logger.log(step, improvement=imp)
+            imp, d0, d1, extra = eval_pair(
+                state, jax.random.fold_in(eval_key, step))
+            imp, d0, d1 = float(imp), float(d0), float(d1)
+            extra = {k: float(v) for k, v in extra.items()}
+            logger.log(step, improvement=imp, **extra)
             print(f"step {step}: e2e improvement {imp:.3f} "
-                  f"(distance {d0:.4f} -> {d1:.4f}, {args.eval_pairs} pairs)",
-                  flush=True)
+                  f"(distance {d0:.4f} -> {d1:.4f}, {args.eval_pairs} pairs"
+                  + "".join(f", {k}={v:.3f}" for k, v in extra.items())
+                  + ")", flush=True)
             if imp >= best_imp:
                 best_imp = imp
                 save_params_npz(ckpt_dir / f"{stem}_best.npz", {
@@ -257,8 +360,16 @@ def _train_on_device_synth_inner(args):
                 prev_meta.write_text(json.dumps({
                     "step": step, "improvement": imp,
                     "initial_distance": d0, "final_distance": d1,
+                    **extra,
                     "eval_pairs": args.eval_pairs,
                     "encoder_npz": str(args.encoder_npz),
+                    "separator_npz": args.separator_npz,
+                    "self_pair_prob": (args.self_pair_prob
+                                       if args.separator_npz else None),
+                    "gain_stage_rms_db": (args.gain_stage_rms_db
+                                          if args.separator_npz else None),
+                    "gain_jitter_db": (args.gain_jitter_db
+                                       if args.separator_npz else None),
                     "synth_version": args.synth_version,
                     "matmul_precision": args.matmul_precision,
                     "tcn": {"hidden_channels": args.hidden_channels,

@@ -100,10 +100,17 @@ class SCNetSeparator:
         weights are the last resort."""
         meta = None
         if checkpoint_dir is None and cfg is None:
-            default = (Path(__file__).resolve().parents[2]
-                       / "artifacts" / "scnet_synth_best.npz")
-            if default.exists():
-                checkpoint_dir = str(default)
+            art = Path(__file__).resolve().parents[2] / "artifacts"
+            # flagship first (best committed held-out SI-SDR), older
+            # demonstration artifacts as fallbacks; a candidate needs BOTH
+            # the weights and the sibling config json (a bare .npz would
+            # silently load under a default config with the wrong dims)
+            for name in ("scnet_synth2_xl_best", "scnet_synth2_lru_best",
+                         "scnet_synth2_best", "scnet_synth_best"):
+                if ((art / f"{name}.npz").exists()
+                        and (art / f"{name}.json").exists()):
+                    checkpoint_dir = str(art / f"{name}.npz")
+                    break
         path = Path(str(checkpoint_dir)) if checkpoint_dir is not None else None
         if path is not None and path.suffix == ".npz":
             meta_path = path.with_suffix(".json")
@@ -139,3 +146,54 @@ class SCNetSeparator:
             self._apply, np.asarray(mixture, np.float32),
             self.chunk_seconds, self.overlap, self.sr,
         )
+
+
+def make_demix_batch_fn(model, variables, T: int,
+                        chunk_seconds: float = 10.0, overlap: float = 0.25,
+                        sample_rate: int = 44100, normalize: bool = True):
+    """Jit-friendly batched chunked separation: (B, C, T) -> (B, S, C, T).
+
+    Same protocol as :func:`demix_track` (per-item scalar normalization,
+    triangular cross-fade overlap-add; ref chunked demix: src/data.py:87-95)
+    but with a *static* chunk grid so the whole thing traces into one XLA
+    program — all chunks of all batch items run as ONE model forward of
+    shape (B * n_chunks, C, chunk), which is how the separator joins a
+    jitted data path (e.g. separator-domain style-transfer training).
+    """
+    chunk = int(chunk_seconds * sample_rate)
+    chunk = min(chunk, max(T, 1))
+    hop = max(1, int(chunk * (1.0 - overlap)))
+    n_chunks = max(1, -(-max(T - chunk, 0) // hop) + 1)
+    total = hop * (n_chunks - 1) + chunk
+
+    win = np.minimum(np.arange(1, chunk + 1), np.arange(chunk, 0, -1))
+    win = np.minimum(win / (chunk * overlap + 1e-9), 1.0).astype(np.float32)
+    acc = np.zeros((total,), np.float32)
+    for i in range(n_chunks):
+        acc[i * hop : i * hop + chunk] += win
+    inv_acc = (1.0 / np.maximum(acc, 1e-8)).astype(np.float32)
+    win_j, inv_acc_j = jnp.asarray(win), jnp.asarray(inv_acc)
+
+    def fn(mix: jax.Array) -> jax.Array:
+        B, C, _ = mix.shape
+        if normalize:
+            mean = mix.mean(axis=(1, 2), keepdims=True)
+            std = mix.std(axis=(1, 2), keepdims=True) + 1e-8
+        else:
+            mean = jnp.zeros((B, 1, 1), mix.dtype)
+            std = jnp.ones((B, 1, 1), mix.dtype)
+        x = (mix - mean) / std
+        xp = jnp.pad(x, ((0, 0), (0, 0), (0, total - T)))
+        chunks = jnp.stack(
+            [xp[:, :, i * hop : i * hop + chunk] for i in range(n_chunks)],
+            axis=1)  # (B, n, C, chunk)
+        res = model.apply(variables, chunks.reshape(B * n_chunks, C, chunk))
+        S = res.shape[1]
+        res = res.reshape(B, n_chunks, S, C, chunk) * win_j
+        out = jnp.zeros((B, S, C, total), res.dtype)
+        for i in range(n_chunks):
+            out = out.at[..., i * hop : i * hop + chunk].add(res[:, i])
+        out = (out * inv_acc_j)[..., :T]
+        return out * std[:, None] + mean[:, None]
+
+    return fn

@@ -186,3 +186,62 @@ def test_style_transfer_cli_on_device_synth(tmp_path):
         "--log_interval", "1", "--no_cycle_consistency",
     ])
     assert (cont_dir / "tcn_synth_best.npz").exists()
+
+
+@pytest.mark.slow
+def test_style_transfer_cli_separator_domain(tmp_path):
+    """--separator_npz trains the TCN on frozen-SCNet-separated stems (the
+    serving domain) and records the self/cross improvement split — the
+    round-5 domain-gap closure for zero-shot transfer on real audio."""
+    import json
+
+    from mst_tpu.checkpoints.npz_io import save_params_npz
+    from mst_tpu.cli import train as s1_cli
+    from mst_tpu.cli import train_style_transfer as st_cli
+    from mst_tpu.separation import SCNet, SCNetConfig
+
+    # tiny frozen separator artifact (npz + sibling config json, the
+    # cli/train_separation.py format from_checkpoint consumes)
+    sep_cfg_meta = {"n_fft": 256, "hop_length": 64, "dims": [4, 8, 16, 24],
+                    "num_dplayers": 1, "rnn_hidden": 8, "rnn_impl": "lru"}
+    scfg = SCNetConfig.from_meta(sep_cfg_meta)
+    model = SCNet(scfg)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 2, 1000)))
+    sep_npz = tmp_path / "scnet_tiny.npz"
+    save_params_npz(sep_npz, variables["params"])
+    sep_npz.with_suffix(".json").write_text(json.dumps(
+        {"config": sep_cfg_meta, "chunk_seconds": 0.125,
+         "sample_rate": 8000}))
+
+    enc_dir = tmp_path / "enc"
+    common = [
+        "--sample_rate", "8000", "--clip_duration", "0.25",
+        "--n_fft", "256", "--hop_length", "64", "--n_mels", "32",
+        "--encoder_dim", "32", "--band_split_size", "8", "--band_overlap", "4",
+    ]
+    s1_cli.main([
+        "--on_device_synth", "--checkpoint_dir", str(enc_dir),
+        "--log_dir", str(tmp_path / "logs"), *common,
+        "--batch_size", "4", "--max_steps", "2",
+        "--eval_interval", "2", "--eval_songs", "4", "--log_interval", "1",
+    ])
+    st_dir = tmp_path / "st"
+    st_cli.main([
+        "--on_device_synth", "--synth_version", "2",
+        "--checkpoint_dir", str(st_dir),
+        "--log_dir", str(tmp_path / "logs"), *common,
+        "--encoder_npz", str(enc_dir / "encoder_synth_best.npz"),
+        "--separator_npz", str(sep_npz),
+        "--hidden_channels", "8", "--num_blocks", "2", "--kernel_size", "5",
+        "--batch_size", "2", "--gradient_accumulation_steps", "2",
+        "--max_steps", "4", "--eval_interval", "4", "--eval_pairs", "2",
+        "--log_interval", "2", "--no_cycle_consistency",
+    ])
+    meta = json.loads((st_dir / "tcn_synth2_sep_best.json").read_text())
+    assert (st_dir / "tcn_synth2_sep_best.npz").exists()
+    assert meta["separator_npz"] == str(sep_npz)
+    # the eval split is recorded: half same-content (demo protocol),
+    # half cross-content (reference two-song protocol)
+    assert "improvement_self" in meta and "improvement_cross" in meta
+    assert np.isfinite(meta["improvement_self"])
+    assert np.isfinite(meta["improvement_cross"])

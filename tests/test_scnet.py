@@ -209,6 +209,39 @@ def test_demix_track_overlap_add(model_and_vars, rng):
     assert np.isfinite(out).all()
 
 
+def test_demix_batch_fn_matches_demix_track(model_and_vars, rng):
+    """The jit-friendly batched overlap-add (separator-domain training data
+    path) must reproduce the host-loop demix_track protocol exactly."""
+    from mst_tpu.separation.demix import make_demix_batch_fn
+
+    model, variables, _ = model_and_vars
+    apply_fn = jax.jit(lambda x: model.apply(variables, x))
+    tracks = rng.standard_normal((2, 2, 30000)).astype(np.float32) * 0.3
+    fn = jax.jit(make_demix_batch_fn(model, variables, 30000,
+                                     chunk_seconds=1.0, overlap=0.25,
+                                     sample_rate=8000))
+    batched = np.asarray(fn(jnp.asarray(tracks)))
+    assert batched.shape == (2, 4, 2, 30000)
+    for b in range(2):
+        ref = demix_track(apply_fn, tracks[b], chunk_seconds=1.0,
+                          overlap=0.25, sample_rate=8000)
+        np.testing.assert_allclose(batched[b], ref, rtol=2e-4, atol=2e-5)
+
+
+def test_demix_batch_fn_short_track(model_and_vars, rng):
+    """T shorter than one chunk: single-window path still works."""
+    from mst_tpu.separation.demix import make_demix_batch_fn
+
+    model, variables, _ = model_and_vars
+    fn = jax.jit(make_demix_batch_fn(model, variables, 6000,
+                                     chunk_seconds=1.0, overlap=0.25,
+                                     sample_rate=8000))
+    out = np.asarray(fn(jnp.asarray(
+        rng.standard_normal((1, 2, 6000)).astype(np.float32) * 0.3)))
+    assert out.shape == (1, 4, 2, 6000)
+    assert np.isfinite(out).all()
+
+
 def test_separator_wrapper(rng):
     sep = SCNetSeparator.from_checkpoint(None, sample_rate=8000, cfg=TINY)
     sep.chunk_seconds = 1.0
@@ -256,10 +289,12 @@ def test_separator_defaults_to_committed_artifact(rng):
     from pathlib import Path
 
     root = Path(__file__).resolve().parent.parent
-    if not (root / "artifacts" / "scnet_synth_best.npz").exists():
+    if not (root / "artifacts" / "scnet_synth2_lru_best.npz").exists():
         pytest.skip("trained SCNet artifact not committed yet")
     sep = SCNetSeparator.from_checkpoint(None)
     assert sep.chunk_seconds == 2.0  # from the artifact's metadata json
+    # the FLAGSHIP (best committed SI-SDR) must win the default resolution
+    assert sep.model.cfg.rnn_impl == "lru"
     mix = rng.standard_normal((2, 2 * 44100)).astype(np.float32) * 0.1
     stems = sep.separate(mix)
     assert stems.shape == (4, 2, 2 * 44100)
