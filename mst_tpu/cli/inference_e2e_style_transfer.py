@@ -37,6 +37,18 @@ def get_params(argv=None):
                         "truth flagship demo protocol "
                         "(ref: inference_e2e_style_transfer.py:439-466)")
     p.add_argument("--segment_offset", type=float, default=0.0)
+    p.add_argument("--target_segment_offset", type=float, default=None,
+                   help="separate offset for the TARGET audio (defaults to "
+                        "--segment_offset).  With the same file for both "
+                        "sides, disjoint offsets give the reference's "
+                        "two-different-songs protocol on one asset "
+                        "(ref: inference_e2e_style_transfer.py:249-253)")
+    p.add_argument("--target_style_seed", type=int, default=None,
+                   help="re-mix the TARGET's separated stems under a fresh "
+                        "mixing style (separation/synth_v2.render_style) — "
+                        "combined with --target_segment_offset this builds "
+                        "the cross-content demo: different content AND a "
+                        "known different style")
     p.add_argument("--gain_stage_rms_db", type=float, default=-16.0,
                    help="input normalization (ON by default): scale input "
                         "and target stems so each MIXTURE hits this RMS "
@@ -127,11 +139,13 @@ def main(argv=None):
     sr = args.sample_rate
 
     # --- stems: pre-separated dirs or SCNet separation ---
-    def get_stems(stem_dir, audio_path):
+    _separator = []
+
+    def get_stems(stem_dir, audio_path, offset):
         if stem_dir:
             stems = load_stems(stem_dir, sr)
             n = int(args.clip_duration * sr)
-            s = int(args.segment_offset * sr)
+            s = int(offset * sr)
             stems = stems[..., s : s + n]
             if stems.shape[-1] < n:
                 pad = np.zeros((4, 2, n), np.float32)
@@ -140,25 +154,36 @@ def main(argv=None):
             return stems
         if audio_path is None:
             raise SystemExit("need --input_audio/--target_audio or stem dirs")
-        mixture = _load_segment(audio_path, sr, args.segment_offset, args.clip_duration)
+        mixture = _load_segment(audio_path, sr, offset, args.clip_duration)
         from mst_tpu.separation import SCNetSeparator
 
-        sep = SCNetSeparator.from_checkpoint(args.scnet_checkpoint, sample_rate=sr)
-        return sep.separate(mixture)
+        if not _separator:
+            _separator.append(SCNetSeparator.from_checkpoint(
+                args.scnet_checkpoint, sample_rate=sr))
+        return _separator[0].separate(mixture)
 
-    input_stems = get_stems(args.input_stems, args.input_audio)
-    if args.self_target_style_seed is not None:
-        # target = the input's own stems under a fresh per-stem mixing
-        # style (gain/pan/tilt/compression/reverb) — content is held
-        # fixed so the transfer target is well-posed on real audio
+    def restyle(stems, seed):
+        # re-mix separated stems under a fresh per-stem mixing style
+        # (gain/pan/tilt/compression/reverb)
         from mst_tpu.separation.synth_v2 import render_style
 
-        target_stems = np.asarray(jax.jit(
+        return np.asarray(jax.jit(
             lambda k, s: render_style(k, s, float(sr)))(
-                jax.random.key(args.self_target_style_seed),
-                jnp.asarray(input_stems, jnp.float32)))
+                jax.random.key(seed), jnp.asarray(stems, jnp.float32)))
+
+    tgt_offset = (args.segment_offset if args.target_segment_offset is None
+                  else args.target_segment_offset)
+    input_stems = get_stems(args.input_stems, args.input_audio,
+                            args.segment_offset)
+    if args.self_target_style_seed is not None:
+        # target = the input's own stems under a fresh style — content is
+        # held fixed so the transfer target is well-posed on real audio
+        target_stems = restyle(input_stems, args.self_target_style_seed)
     else:
-        target_stems = get_stems(args.target_stems, args.target_audio)
+        target_stems = get_stems(args.target_stems, args.target_audio,
+                                 tgt_offset)
+        if args.target_style_seed is not None:
+            target_stems = restyle(target_stems, args.target_style_seed)
 
     gain_stage = {}
     if args.gain_stage_rms_db is not None:
@@ -273,8 +298,12 @@ def main(argv=None):
         "baseline_quality": qa.evaluate_transfer_quality(
             target_mix, input_stems.sum(0)),
         "input_audio": args.input_audio or args.input_stems,
+        "target_audio": args.target_audio or args.target_stems,
         "segment_offset": args.segment_offset,
+        "target_segment_offset": tgt_offset,
         "self_target_style_seed": args.self_target_style_seed,
+        "target_style_seed": args.target_style_seed,
+        "clip_duration": args.clip_duration,
         "gain_stage_rms_db": args.gain_stage_rms_db,
         "gain_stage": gain_stage or None,
         "encoder_npz": args.encoder_npz,

@@ -298,6 +298,13 @@ class _LRU(nn.Module):
     r_min: float = 0.4
     r_max: float = 0.99
     max_phase: float = 6.28
+    # Serving knob: compute dtype for the input GEMMs (x @ B_re/B_im) ONLY.
+    # The associative scan itself always runs f32 — its products compound
+    # multiplicative rounding error over the sequence — but the two input
+    # projections are plain one-shot matmuls where bf16's ~3 decimal digits
+    # are as safe as in every other Dense of the core (parity-tested:
+    # tests/test_scnet.py::test_lru_bf16_gemm_matches_f32).
+    gemm_dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array, reverse: bool = False) -> jax.Array:
@@ -326,8 +333,15 @@ class _LRU(nn.Module):
         lam_re, lam_im = mag * jnp.cos(phase), mag * jnp.sin(phase)
         gamma = jnp.sqrt(jnp.maximum(1.0 - mag ** 2, 1e-8))
 
-        u_re = gamma * (x @ w_re)                # (B, L, H)
-        u_im = gamma * (x @ w_im)
+        if self.gemm_dtype is not None:
+            xg = x.astype(self.gemm_dtype)
+            u_re = gamma * (xg @ w_re.astype(self.gemm_dtype)
+                            ).astype(jnp.float32)   # (B, L, H)
+            u_im = gamma * (xg @ w_im.astype(self.gemm_dtype)
+                            ).astype(jnp.float32)
+        else:
+            u_re = gamma * (x @ w_re)                # (B, L, H)
+            u_im = gamma * (x @ w_im)
         ones = jnp.ones_like(u_re)
 
         def combine(e1, e2):
@@ -362,11 +376,13 @@ class BiRNN(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         if self.impl == "lru":
             # the LRU's associative-scan products compound multiplicative
-            # rounding error over ~10^3-step sequences — keep it f32 even
-            # when the rest of the core runs bf16
-            fwd = _LRU(self.hidden, name="lru_fwd")(x.astype(jnp.float32))
-            bwd = _LRU(self.hidden, name="lru_bwd")(x.astype(jnp.float32),
-                                                    reverse=True)
+            # rounding error over ~10^3-step sequences — the SCAN stays f32
+            # even when the rest of the core runs bf16; the input GEMMs
+            # take the serving dtype (safe one-shot matmuls)
+            fwd = _LRU(self.hidden, gemm_dtype=self.dtype,
+                       name="lru_fwd")(x.astype(jnp.float32))
+            bwd = _LRU(self.hidden, gemm_dtype=self.dtype,
+                       name="lru_bwd")(x.astype(jnp.float32), reverse=True)
         elif self.impl == "fused":
             cf = _LSTMGates(self.hidden, dtype=self.dtype,
                             name="OptimizedLSTMCell_0")

