@@ -92,6 +92,9 @@ def test_grid_search_cli_results(tiny_corpus, tmp_path):
     assert results[0]["config"]["blocks"] == 2
 
 
+@pytest.mark.slow  # 155 s: per-pair mechanics are covered fast by
+# test_per_pair_batched; the chain runs in the verify flow (round-5
+# suite re-budget)
 def test_distinctive_pairs_cli_chain(tiny_corpus, tmp_path):
     """select_distinctive_pairs -> run_distinctive_pairs_transfer
     (ref: select_distinctive_pairs.py + run_distinctive_pairs_transfer.py)."""
@@ -276,6 +279,8 @@ def test_style_resolution_cli_curve(tmp_path):
     assert saved["pool_size"] == 6
 
 
+@pytest.mark.slow  # 99 s: joins the encoder branch round 4 already
+# slow-marked (round-5 suite re-budget)
 def test_style_resolution_cli_fx_model(tmp_path):
     """--model fx sweeps a trained FxEncoder artifact (mixture-level,
     same-style-other-song confuser pool)."""
@@ -300,6 +305,8 @@ def test_style_resolution_cli_fx_model(tmp_path):
     assert 0.0 <= res["curve"][0]["top1"] <= 1.0
 
 
+@pytest.mark.slow  # 147 s: the effects chain + CMA search are covered
+# fast by test_transfer_eval/test_eval_extras (round-5 suite re-budget)
 def test_effects_transfer_cli_self_target(tmp_path):
     """Effect-chain transfer CLI (ST-ITO role, ref:
     style_transfer_eval.py:139-231): self-target mode renders the target by

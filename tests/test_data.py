@@ -49,6 +49,8 @@ def test_style_transfer_dataset(corpus):
     assert batch["input_stems"].shape == (2, 4, 2, 22050)
 
 
+@pytest.mark.slow  # 88 s: the on-the-fly SCNet data path is exercised
+# by the separator-domain integration test (round-5 suite re-budget)
 def test_style_transfer_dataset_on_the_fly_separation(corpus, tmp_path):
     """separator= mode: raw mixture files separated per item
     (ref: data.py:503-509, use_preseparated=False)."""

@@ -16,6 +16,9 @@ TINY = [
 ]
 
 
+@pytest.mark.slow  # 169 s: the FxEncoder train loop is covered fast by
+# test_integration's fx path; artifact consumption by the committed-
+# artifact slow tests (round-5 suite re-budget)
 def test_fx_encoder_training_produces_consumable_artifact(tmp_path, capsys):
     """train_fx_encoder writes a full-variables artifact that the
     style-transfer CLI's fx_encoder slot loads and trains with."""
