@@ -308,6 +308,11 @@ def main(argv=None):
         "gain_stage": gain_stage or None,
         "encoder_npz": args.encoder_npz,
         "tcn_npz": args.tcn_npz,
+        # resolved separator provenance (default resolution prefers the
+        # current flagship, which changes as better artifacts land)
+        "scnet_checkpoint": (getattr(_separator[0], "checkpoint_path",
+                                     args.scnet_checkpoint)
+                            if _separator else args.scnet_checkpoint),
         "config": {"hidden_channels": args.hidden_channels,
                    "num_blocks": args.num_blocks,
                    "kernel_size": args.kernel_size,

@@ -138,8 +138,12 @@ class SCNetSeparator:
                 print(f"loaded SCNet weights from {checkpoint_dir}")
             else:
                 print("WARNING: SCNet running with untrained weights")
-        return cls(model, variables, sample_rate, chunk_seconds=chunk_seconds,
-                   compute_dtype=compute_dtype)
+        sep = cls(model, variables, sample_rate, chunk_seconds=chunk_seconds,
+                  compute_dtype=compute_dtype)
+        # provenance for artifact metadata: the RESOLVED path (the default-
+        # resolution order above can change as better artifacts land)
+        sep.checkpoint_path = str(path) if path is not None else None
+        return sep
 
     def separate(self, mixture: np.ndarray) -> np.ndarray:
         return demix_track(

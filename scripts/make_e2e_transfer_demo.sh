@@ -31,6 +31,10 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 
 TCN=${TCN:-artifacts/tcn_synth2_sep_best.npz}
+# The TCN is separator-DOMAIN trained: its training stems came from this
+# exact SCNet artifact, so the demo pins the same one rather than taking
+# the default flagship resolution (which moves as better separators land).
+SCNET=${SCNET:-artifacts/scnet_synth2_lru_best.npz}
 
 python - << EOF
 import jax
@@ -41,6 +45,7 @@ main(["--input_audio", "/root/reference/assets/song_A.wav",
       "--per_pair_steps", "200",
       "--encoder_npz", "artifacts/encoder_synth2_best.npz",
       "--tcn_npz", "$TCN",
+      "--scnet_checkpoint", "$SCNET",
       "--output_dir", "artifacts/e2e_transfer_demo"])
 EOF
 
@@ -57,5 +62,6 @@ main(["--input_audio", "/root/reference/assets/song_A.wav",
       "--per_pair_steps", "200",
       "--encoder_npz", "artifacts/encoder_synth2_best.npz",
       "--tcn_npz", "$TCN",
+      "--scnet_checkpoint", "$SCNET",
       "--output_dir", "artifacts/e2e_transfer_demo_cross"])
 EOF
