@@ -419,22 +419,26 @@ def main():
                                    full_hbm, full_batch))
     extras.update(_roofline_extras("stage1_train", stage1_rate, s1_flops,
                                    s1_hbm, s1_n))
-    # the v2 flagship separator (quality-first, ~4x the headline model's
-    # compute: dims [4,64,128,256], rnn 256) measured under the same
-    # protocol — its own extra so the headline protocol stays comparable
-    # across rounds.  The measured artifact is the LRU-core flagship (the
-    # equal-budget A/B winner, README artifact table); _scnet_cfg honors
-    # the artifact's recorded rnn_impl, falling back to the BiLSTM best
-    # if the LRU artifact is ever absent.
+    # v2 separators come in TWO presets and bench reports both:
+    #   full_pipeline_v2  — the SERVING preset (LRU core, bf16 input GEMMs
+    #     with f32 recurrence).  Pinned to the LRU artifact so the number
+    #     stays comparable with BENCH_r03/r04's v2 extras.
+    #   full_pipeline_xl  — the QUALITY flagship (XL LRU, dims
+    #     [4,96,192,384]); ~5x the serving preset's compute, reported with
+    #     its own roofline extras so throughput-vs-quality is explicit.
+    # _scnet_cfg honors each artifact's recorded rnn_impl/dims.
     from pathlib import Path
     art_dir = Path(__file__).resolve().parent / "artifacts"
-    # a candidate needs BOTH weights and the sibling config json — a bare
-    # .npz would make _scnet_cfg fall back to default dims and the load
-    # would fail with a confusing shape error far from the cause
-    v2_stem = next((s for s in ("scnet_synth2_xl_best", "scnet_synth2_lru_best",
-                                "scnet_synth2_best")
-                    if (art_dir / f"{s}.npz").exists()
-                    and (art_dir / f"{s}.json").exists()), None)
+
+    def _stem_ok(s):
+        # BOTH weights and the sibling config json — a bare .npz would make
+        # _scnet_cfg fall back to default dims and the load would fail with
+        # a confusing shape error far from the cause
+        return ((art_dir / f"{s}.npz").exists()
+                and (art_dir / f"{s}.json").exists())
+
+    v2_stem = next((s for s in ("scnet_synth2_lru_best", "scnet_synth2_best")
+                    if _stem_ok(s)), None)
     if v2_stem:
         v2_rate, v2_flops, v2_hbm, v2_batch = _measure_full_tpu(
             batch_size=4, stem=v2_stem)
@@ -442,6 +446,13 @@ def main():
         extras["full_pipeline_v2_artifact"] = v2_stem
         extras.update(_roofline_extras("full_pipeline_v2", v2_rate,
                                        v2_flops, v2_hbm, v2_batch))
+    if _stem_ok("scnet_synth2_xl_best"):
+        xl_rate, xl_flops, xl_hbm, xl_batch = _measure_full_tpu(
+            batch_size=4, stem="scnet_synth2_xl_best")
+        extras["full_pipeline_xl_clips_per_sec"] = round(xl_rate, 3)
+        extras["full_pipeline_xl_artifact"] = "scnet_synth2_xl_best"
+        extras.update(_roofline_extras("full_pipeline_xl", xl_rate,
+                                       xl_flops, xl_hbm, xl_batch))
     hbm_meas = _measure_hbm_peak_gbps()
     if hbm_meas:
         # measured achievable bandwidth (known-traffic microbench) — the

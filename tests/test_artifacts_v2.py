@@ -25,7 +25,8 @@ def _load_meta(stem):
 
 @pytest.mark.slow
 @pytest.mark.parametrize("stem", ["scnet_synth2_best",
-                                  "scnet_synth2_lru_best"])
+                                  "scnet_synth2_lru_best",
+                                  "scnet_synth2_xl_best"])
 def test_scnet_v2_artifact_regression(stem):
     """Held-out v2 SI-SDR regression for both dual-path cores under the
     artifact's recorded protocol.  Equal 24k-step budget A/B (12k balanced

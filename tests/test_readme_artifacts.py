@@ -34,6 +34,7 @@ def _meta(stem: str) -> dict:
     ("scnet_synth_best", lambda m: f"{m['si_sdr']:.2f} dB"),
     ("scnet_synth2_best", lambda m: f"{m['si_sdr']:.2f} dB"),
     ("scnet_synth2_lru_best", lambda m: f"{m['si_sdr']:.2f} dB"),
+    ("scnet_synth2_xl_best", lambda m: f"{m['si_sdr']:.2f} dB"),
     ("encoder_synth_best", lambda m: f"top1 {m['top1']:.3f}"),
     ("encoder_synth2_best", lambda m: f"top1 {m['top1']:.3f}"),
     ("tcn_synth_best", lambda m: f"{100 * m['improvement']:.1f}%"),

@@ -70,3 +70,20 @@ def test_committed_real_audio_metrics_v2_flagship():
     # no stem swallows the whole mix, none vanishes
     for name, f in meta["stem_energy_fraction"].items():
         assert 0.01 < f < 0.9, (name, f)
+
+
+def test_committed_real_audio_metrics_xl_flagship():
+    """The round-5 XL quality flagship's full-track run: its recipe-trained
+    masks come far closer to a partition of unity on real audio (measured
+    recon_rel_err ~0.06 vs the LRU's 0.186; bound tightened to <0.10)."""
+    path = ROOT / "artifacts" / "real_audio_demix" / "metrics_v2_xl.json"
+    if not path.exists():
+        pytest.skip("XL full-track metrics not committed yet")
+    meta = json.loads(path.read_text())
+    assert meta["checkpoint"].endswith("scnet_synth2_xl_best.npz")
+    assert meta["recon_rel_err"] < 0.10, meta["recon_rel_err"]
+    assert meta["band_fractions"]["bass"]["low"] > 0.7
+    assert meta["band_fractions"]["vocals"]["mid"] > 0.5
+    assert meta["seconds"] > 10.0
+    for name, f in meta["stem_energy_fraction"].items():
+        assert 0.01 < f < 0.9, (name, f)
