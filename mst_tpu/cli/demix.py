@@ -90,6 +90,9 @@ def main(argv=None):
                             np.asarray(stems, np.float32), args.sample_rate)
     metrics["input"] = str(args.input)
     metrics["seconds"] = audio.shape[1] / args.sample_rate
+    # resolved provenance (the default resolution moves as better
+    # artifacts land)
+    metrics["checkpoint"] = getattr(sep, "checkpoint_path", args.checkpoint)
     (out / "metrics.json").write_text(json.dumps(metrics, indent=2))
     if not args.no_save_stems:
         for i, name in enumerate(STEMS):
