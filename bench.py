@@ -347,34 +347,53 @@ def _measure_e2e_transfer(iters: int = 10) -> float:
     return sorted(times)[1]
 
 
-def _measure_hbm_peak_gbps(size_mb: int = 512, iters: int = 10) -> float | None:
+def _measure_hbm_peak_gbps(size_mb: int = 256, iters: int = 40) -> float | None:
     """Measured achievable HBM bandwidth via a known-traffic microbench:
-    ``y = x + 1`` over a ``size_mb`` f32 array moves exactly 2x its size
-    (one read + one write; XLA cannot fuse it away because the output is
-    materialized).  This calibrates the roofline: the XLA cost model's
-    "bytes accessed" double-counts reads that fusion/caching elides, so
-    utilizations derived from it are upper bounds (round-4 verdict #4) —
-    the microbench pins what the hardware actually sustains."""
+    ``y = y + 1`` over a ``size_mb`` f32 array inside a ``lax.fori_loop``
+    moves exactly 2x its size per iteration (one read + one write per loop
+    body; XLA cannot fuse across while-loop iterations).  All ``iters``
+    iterations run in ONE dispatched program — a host-side loop of tiny
+    jitted calls measures per-dispatch latency instead of bandwidth
+    (~11 ms/dispatch through the remote tunnel, which made an early
+    version of this report 81 GB/s).  This calibrates the roofline: the
+    XLA cost model's "bytes accessed" double-counts reads that
+    fusion/caching elides, so utilizations derived from it are upper
+    bounds (round-4 verdict #4) — the microbench pins what the hardware
+    actually sustains."""
     try:
         import jax
         import jax.numpy as jnp
 
         n = size_mb * (1 << 20) // 4
         x = jnp.zeros((n,), jnp.float32)
+        # trip count as a TRACED operand: a static count lets XLA unroll
+        # the loop and fuse the adds into one elementwise pass (an early
+        # version measured an impossible 1.5 PB/s that way)
+        k = jnp.asarray(iters, jnp.int32)
 
         @jax.jit
-        def bump(x):
-            return x + 1.0
+        def sweep(x, k):
+            # per-iteration scalar addend: a plain ``a + 1.0`` body can be
+            # collapsed to ``a + k`` by the loop simplifier (an early
+            # version of this measured an impossible 881 TB/s)
+            body = lambda i, a: a + jnp.sin(i.astype(jnp.float32))
+            y = jax.lax.fori_loop(0, k, body, x)
+            return y[:8]  # tiny slice; the full carry is still computed
 
-        x = bump(x)
-        jax.block_until_ready(x)  # compile + warmup
+        def run(x):
+            # fetch to host: on the remote backend block_until_ready alone
+            # does not guarantee the computation executed
+            return np.asarray(sweep(x, k))
+
+        run(x)  # compile + warmup
         rates = []
-        for _ in range(3):
+        for j in range(3):
+            # distinct input each call: a repeated identical call can be
+            # served from a result cache and time as ~0
+            xj = x + float(j + 1)
+            jax.block_until_ready(xj)
             t0 = time.perf_counter()
-            y = x
-            for _ in range(iters):
-                y = bump(y)
-            jax.block_until_ready(y)
+            run(xj)
             rates.append(2.0 * n * 4 * iters / (time.perf_counter() - t0))
         return sorted(rates)[1] / 1e9
     except Exception:
