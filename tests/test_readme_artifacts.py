@@ -39,6 +39,7 @@ def _meta(stem: str) -> dict:
     ("encoder_synth2_best", lambda m: f"top1 {m['top1']:.3f}"),
     ("tcn_synth_best", lambda m: f"{100 * m['improvement']:.1f}%"),
     ("tcn_synth2_best", lambda m: f"{100 * m['improvement']:.1f}%"),
+    ("tcn_synth2_sep_best", lambda m: f"{100 * m['improvement']:.1f}%"),
 ])
 def test_readme_row_matches_artifact_json(stem, fmt):
     meta = _meta(stem)
