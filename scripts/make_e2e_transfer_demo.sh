@@ -59,7 +59,7 @@ main(["--input_audio", "/root/reference/assets/song_A.wav",
       "--segment_offset", "0.0",
       "--target_segment_offset", "7.6",
       "--target_style_seed", "5",
-      "--per_pair_steps", "200",
+      "--per_pair_steps", "100",
       "--encoder_npz", "artifacts/encoder_synth2_best.npz",
       "--tcn_npz", "$TCN",
       "--scnet_checkpoint", "$SCNET",
